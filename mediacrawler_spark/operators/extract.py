@@ -1,0 +1,177 @@
+"""Span extraction + document assembly (the per-row invariant).
+
+Each fetched page contributes *span rows* — (doc_id, sort-key, kind, text,
+media_ref) — and the ``documents`` table is their per-doc ordered assembly
+into ``array<struct<kind,text,media_ref,offset>>`` with dense 0-based
+offsets (BASELINE.json input_hint).
+
+Span order reproduces the reference's emission order exactly
+(SURVEY §1.3):
+
+  title, text, images (list order), video,            -- the note itself
+  then per comment page p (cursor order):             -- client.py:345-369
+     the page's root comments (page order),
+     then each root's sub-comment chain, roots in page order
+
+The six-field sort key encodes that total order:
+  (section, page, phase, parent_ordinal, sub_page, idx)
+  section: 0 title | 1 text | 2 image | 3 video | 4 comments
+  phase:   0 root page | 1 sub chains of that page
+
+Assembly is one hash aggregation + JVM-side array sort —
+``sort_array(collect_list(struct(...)))`` then ``transform`` for dense
+offsets. No Python anywhere; no window over the span table needed.
+
+W4 truncation: root comments beyond ``max_comments_per_note`` are cut at
+extraction (the reference slices the last page —
+media_platform/xhs/client.py:357-358); sub-comments follow their parent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("s_sec", T.IntegerType(), False),
+        T.StructField("s_page", T.LongType(), False),
+        T.StructField("s_phase", T.IntegerType(), False),
+        T.StructField("s_parent", T.LongType(), False),
+        T.StructField("s_subpage", T.LongType(), False),
+        T.StructField("s_idx", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+    ]
+)
+SPAN_ROW_COLS = [f.name for f in SPAN_ROWS_SCHEMA.fields]
+
+
+def _doc_id(platform, note_id):
+    return F.concat(platform, F.lit(":note:"), note_id)
+
+
+def extract_span_rows(
+    successes: DataFrame,
+    comments_per_page: int = 10,
+    max_comments_per_note: int = 500,
+) -> DataFrame:
+    """Successful fetches of one epoch → span rows (pure expr + explode)."""
+    zero = F.lit(0).cast("long")
+
+    # --- note detail: title, text, images, video ---------------------------
+    detail = (
+        successes.filter((F.col("kind") == "detail") & (F.size("items") > 0))
+        .withColumn("it", F.try_element_at(F.col("items"), F.lit(1)))
+        .select(
+            _doc_id(F.col("platform"), F.col("note_id")).alias("doc_id"),
+            F.col("it.title").alias("title"),
+            F.col("it.text").alias("text"),
+            F.col("it.image_refs").alias("image_refs"),
+            F.col("it.video_ref").alias("video_ref"),
+        )
+    )
+    title = detail.select(
+        "doc_id", F.lit(0).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        zero.alias("s_idx"), F.lit("title").alias("kind"),
+        F.col("title").alias("text"), F.lit("").alias("media_ref"),
+    )
+    body = detail.select(
+        "doc_id", F.lit(1).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        zero.alias("s_idx"), F.lit("text").alias("kind"),
+        F.col("text"), F.lit("").alias("media_ref"),
+    )
+    images = detail.select(
+        "doc_id", F.posexplode(F.col("image_refs")).alias("pos", "ref")
+    ).select(
+        "doc_id", F.lit(2).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        F.col("pos").cast("long").alias("s_idx"), F.lit("image").alias("kind"),
+        F.lit("").alias("text"), F.col("ref").alias("media_ref"),
+    )
+    video = detail.filter(F.col("video_ref") != "").select(
+        "doc_id", F.lit(3).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        zero.alias("s_idx"), F.lit("video").alias("kind"),
+        F.lit("").alias("text"), F.col("video_ref").alias("media_ref"),
+    )
+
+    # --- root comments (comment pages), W4 truncation -----------------------
+    roots = (
+        successes.filter(F.col("kind") == "comment_page")
+        .select(
+            _doc_id(F.col("platform"), F.col("note_id")).alias("doc_id"),
+            F.col("seq").alias("page"),
+            F.posexplode(F.col("comments")).alias("idx", "c"),
+        )
+        .filter(
+            F.col("page") * comments_per_page + F.col("idx") < max_comments_per_note
+        )
+        .select(
+            "doc_id", F.lit(4).alias("s_sec"), F.col("page").alias("s_page"),
+            F.lit(0).alias("s_phase"),
+            (F.col("page") * comments_per_page + F.col("idx")).cast("long").alias("s_parent"),
+            zero.alias("s_subpage"), zero.alias("s_idx"),
+            F.lit("comment").alias("kind"),
+            F.col("c.content").alias("text"), F.lit("").alias("media_ref"),
+        )
+    )
+
+    # --- sub comments: sort after their parent's page ------------------------
+    subs = (
+        successes.filter(F.col("kind") == "sub_comment_page")
+        .select(
+            _doc_id(F.col("platform"), F.col("note_id")).alias("doc_id"),
+            (F.col("parent_seq") / comments_per_page).cast("long").alias("s_page"),
+            F.col("parent_seq").alias("s_parent"),
+            F.col("seq").alias("s_subpage"),
+            F.posexplode(F.col("comments")).alias("idx", "c"),
+        )
+        .select(
+            "doc_id", F.lit(4).alias("s_sec"), F.col("s_page"),
+            F.lit(1).alias("s_phase"), F.col("s_parent"), F.col("s_subpage"),
+            F.col("idx").cast("long").alias("s_idx"),
+            F.lit("comment").alias("kind"),
+            F.col("c.content").alias("text"), F.lit("").alias("media_ref"),
+        )
+    )
+
+    out = title
+    for part in (body, images, video, roots, subs):
+        out = out.unionByName(part)
+    return out.select(*SPAN_ROW_COLS)
+
+
+def assemble_documents(span_rows: DataFrame) -> DataFrame:
+    """Span rows (any number of epochs) → the ``documents`` table.
+
+    One shuffle on doc_id; the sort is a per-row array sort (JVM codegen),
+    not a window. Offsets are re-densified so robots-denied or truncated
+    segments never leave gaps.
+    """
+    packed = F.struct(
+        F.col("s_sec"), F.col("s_page"), F.col("s_phase"),
+        F.col("s_parent"), F.col("s_subpage"), F.col("s_idx"),
+        F.col("kind"), F.col("text"), F.col("media_ref"),
+    )
+    return (
+        span_rows.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(packed)).alias("arr"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -1,0 +1,255 @@
+"""Frontier row algebra: seed admission, outcome classification, successor
+emission (SURVEY §2.1 S1-S3, §2.12 R1-R4, §2.7 T2-T4, §2.6 W2-W4).
+
+Everything here is pure column expressions + explode — no Python in the
+row path. Each *fetched* page emits its successor frontier rows:
+
+- search page  → detail rows for every real item (noise filtered, P1)
+                 + next search page (cursor chain, early-exit T4,
+                 Weibo two-empty-strike rule)
+- detail       → first comment page iff comments_count > 0 (P3)
+- comment page → sub-comment pages for commented roots + next comment page
+                 while under the per-note budget (W4)
+- sub page     → next sub page while has_more
+- failures     → retry rows with attempt+1 and exponential epoch backoff
+                 (R1/R2), dropped at max attempts; blocking statuses also
+                 quarantine the host (R3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
+from mediacrawler_spark.schemas import FRONTIER_SCHEMA
+from mediacrawler_spark.sources.fetch import BLOCKING, PERMANENT, RETRYABLE
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+MAX_ATTEMPTS = 3  # reference: tenacity stop_after_attempt(3), xhs/client.py:84
+BACKOFF_CAP = 8  # epochs; reference backoff factor 2 cap 60s (sdk/common/utils.py:48-80)
+QUARANTINE_EPOCHS = 2
+
+
+def seeds_to_candidates(seeds: DataFrame, epoch: int = 0) -> DataFrame:
+    """Seed table (S1-S3 shape) → canonical frontier candidate rows."""
+    s = seeds.withColumn("url", canonicalize_urls(F.col("url")))
+    return s.select(
+        F.col("url"),
+        F.xxhash64("url").alias("url_hash"),
+        host_of(F.col("url")).alias("host"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority").cast("int"),
+        F.col("seq").cast("long"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("").alias("cursor"),
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        F.lit(epoch).cast("int").alias("not_before_epoch"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+
+
+def classify_outcomes(fetched: DataFrame, epoch: int) -> dict[str, DataFrame]:
+    """Split one epoch's fetch results into success / retry / quarantine."""
+    successes = fetched.filter(F.col("status") == 200)
+    retry_src = fetched.filter(
+        F.col("status").isin(list(RETRYABLE)) & (F.col("attempt") + 1 < MAX_ATTEMPTS)
+    )
+    exhausted = fetched.filter(
+        F.col("status").isin(list(RETRYABLE)) & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
+    )
+    permanent = fetched.filter(F.col("status").isin(list(PERMANENT)))
+    # R2: exponential epoch backoff 2^attempt, capped
+    retries = retry_src.select(
+        *[F.col(c) for c in FRONTIER_COLS if c not in ("attempt", "not_before_epoch", "epoch")],
+        (F.col("attempt") + 1).alias("attempt"),
+        F.least(
+            F.lit(epoch) + F.pow(F.lit(2), F.col("attempt")).cast("int"),
+            F.lit(epoch + BACKOFF_CAP),
+        ).cast("int").alias("not_before_epoch"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    ).select(*FRONTIER_COLS)
+    quarantined_hosts = (
+        fetched.filter(F.col("status").isin(list(BLOCKING)))
+        .select("host")
+        .distinct()
+        .withColumn("quarantined_until", F.lit(epoch + QUARANTINE_EPOCHS).cast("int"))
+    )
+    return {
+        "successes": successes,
+        "retries": retries,
+        "exhausted": exhausted,
+        "permanent": permanent,
+        "quarantined_hosts": quarantined_hosts,
+    }
+
+
+def _base(successes: DataFrame, epoch: int):
+    """Common successor columns."""
+    return {
+        "parent_seq": F.lit(-1).cast("long"),
+        "empty_streak": F.lit(0),
+        "attempt": F.lit(0),
+        "not_before_epoch": F.lit(epoch + 1).cast("int"),
+        "epoch": F.lit(epoch + 1).cast("int"),
+    }
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("url"),
+        F.xxhash64("url").alias("url_hash"),
+        host_of(F.col("url")).alias("host"),
+        *[F.col(c) for c in FRONTIER_COLS if c not in ("url", "url_hash", "host")],
+    )
+
+
+def emit_successors(
+    successes: DataFrame,
+    epoch: int,
+    comments_per_page: int = 10,
+    max_comments_per_note: int = 500,
+    max_pages_per_chain: int = 1000,
+) -> DataFrame:
+    """All successor frontier rows of one epoch's successful fetches.
+
+    ``max_comments_per_note`` mirrors CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES
+    (config/base_config.py:135); ``comments_per_page`` the per-platform fixed
+    page size (10-20, e.g. xhs/client.py:297).
+    """
+    b = _base(successes, epoch)
+
+    # --- search page → detail rows (P1 noise filter) -----------------------
+    search = successes.filter(F.col("kind") == "search_page")
+    items = search.select(
+        F.col("host"),
+        F.col("platform"),
+        F.explode(F.col("items")).alias("it"),
+    ).filter(~F.col("it.model_type").isin("rec_query", "hot_query"))
+    details = items.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
+        F.col("platform"),
+        F.lit("detail").alias("kind"),
+        F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("it.id").alias("parent_id"),
+        F.lit("").alias("cursor"),
+        *[v.alias(k) for k, v in b.items()],
+    )
+
+    # --- search page → next page (T4 early exit + 2-strike) ----------------
+    streak = F.when(F.size("items") == 0, F.col("empty_streak") + 1).otherwise(F.lit(0))
+    next_search = (
+        search.withColumn("_streak", streak)
+        .filter(F.col("has_more") & (F.col("_streak") < 2) & (F.col("seq") < max_pages_per_chain))
+        .select(
+            F.concat(
+                F.regexp_replace(F.col("url"), r"page=\d+$", "page="),
+                F.col("next_cursor"),
+            ).alias("url"),
+            F.col("platform"),
+            F.col("kind"),
+            F.col("priority"),
+            (F.col("seq") + 1).alias("seq"),
+            F.col("parent_id"),
+            F.col("next_cursor").alias("cursor"),
+            F.lit(-1).cast("long").alias("parent_seq"),
+            F.col("_streak").alias("empty_streak"),
+            F.lit(0).alias("attempt"),
+            F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
+            F.lit(epoch + 1).cast("int").alias("epoch"),
+        )
+    )
+
+    # --- detail → first comment page iff any comments (P3) -----------------
+    detail = successes.filter(F.col("kind") == "detail")
+    first_comment_page = (
+        detail.withColumn("it", F.try_element_at(F.col("items"), F.lit(1)))
+        .filter(F.col("it.comments_count") > 0)
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/comments/"),
+                F.col("note_id"), F.lit("?cursor=0"),
+            ).alias("url"),
+            F.col("platform"),
+            F.lit("comment_page").alias("kind"),
+            F.lit(1).alias("priority"),  # W1: comment pages after notes
+            F.lit(0).cast("long").alias("seq"),
+            F.col("note_id").alias("parent_id"),
+            F.lit("0").alias("cursor"),
+            *[v.alias(k) for k, v in b.items()],
+        )
+    )
+
+    # --- comment page → sub-comment pages + next page ----------------------
+    cpages = successes.filter(F.col("kind") == "comment_page")
+    roots = cpages.select(
+        F.col("host"), F.col("platform"), F.col("note_id"), F.col("seq"),
+        F.posexplode(F.col("comments")).alias("idx", "c"),
+    )
+    sub_pages = roots.filter(F.col("c.sub_comment_count") > 0).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
+            F.col("note_id"), F.lit("/"), F.col("c.comment_id"),
+            F.lit("?cursor="), F.col("c.sub_comment_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.lit("sub_comment_page").alias("kind"),
+        F.lit(1).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("c.comment_id").alias("parent_id"),
+        F.col("c.sub_comment_cursor").alias("cursor"),
+        (F.col("seq") * comments_per_page + F.col("idx")).cast("long").alias("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
+        F.lit(epoch + 1).cast("int").alias("epoch"),
+    )
+    # W4: stop the chain once the next page would start at/after the budget
+    next_comment_page = cpages.filter(
+        F.col("has_more")
+        & ((F.col("seq") + 1) * comments_per_page < max_comments_per_note)
+        & (F.col("seq") < max_pages_per_chain)
+    ).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/comments/"),
+            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        *[v.alias(k) for k, v in b.items()],
+    )
+
+    # --- sub-comment page → next sub page -----------------------------------
+    spages = successes.filter(F.col("kind") == "sub_comment_page")
+    next_sub_page = spages.filter(F.col("has_more") & (F.col("seq") < max_pages_per_chain)).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
+            F.col("note_id"), F.lit("/"), F.col("parent_id"),
+            F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        F.col("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
+        F.lit(epoch + 1).cast("int").alias("epoch"),
+    )
+
+    out = None
+    for part in (details, next_search, first_comment_page, sub_pages, next_comment_page, next_sub_page):
+        part = _finish(part)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1,0 +1,138 @@
+"""Priority + politeness selection and the robots gate (SURVEY W1/J5/J6).
+
+The reference's politeness is control-flow: semaphore(5) + uniform(1,2)s
+jittered sleeps (config/base_config.py:96,126; media_platform/xhs/core.py:157,
+289-293) and its priority is statement order — details fetched & stored
+*then* comment pages (media_platform/xhs/core.py:168-179). The engine makes
+both declarative:
+
+- every frontier row has ``priority`` (0 notes/details < 1 comment pages)
+  and ``seq`` (page/cursor ordinal);
+- each epoch, each host may fetch at most ``budget_per_epoch`` rows
+  (derived from the reference envelope: 5 concurrent / 1.5 s mean sleep ×
+  epoch length);
+- the per-host fetch set is the budget-prefix of rows ordered by
+  ``(priority, seq, url_hash)`` — a deterministic total order, so crawl
+  ordering is reproducible (SURVEY §7.4 risk 1).
+
+Scale: a naive ``Window.partitionBy(host)`` sends *every* row of a hot host
+through one task (one platform host can hold ~50% of a 10^10 frontier).
+Selection is therefore two-phase top-k:
+
+  phase 1: repartition by (host, salt) with ``salt = pmod(url_hash, S)``;
+           local row_number per salt; keep rows with local rank ≤ budget —
+           at most S×budget rows per host survive (S small), off the hot path;
+  phase 2: exact global row_number per host over the tiny survivor set.
+
+The same salted key partitions the subsequent fetch stage (north_rule:
+"salted shuffle for comment-pagination fan-out").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mediacrawler_spark.functions.urls import url_path
+
+ORDER_COLS = ("priority", "seq", "url_hash")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame, epoch_ts: int) -> DataFrame:
+    """Drop rows a robots rule denies (SURVEY S8/J5).
+
+    Longest-matching ``path_prefix`` wins (the robots.txt convention);
+    hosts without any live rule default to allow. The rules table is tiny
+    (one row per host×prefix) → broadcast join; expired rules
+    (``expires_at`` ≤ now) are ignored, mirroring the reference's TTL cache
+    contract (cache/local_cache.py:47-72).
+    """
+    live = robots.filter(F.col("expires_at") > F.lit(epoch_ts)).select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix"),
+        F.col("allow"),
+    )
+    joined = frontier.join(
+        F.broadcast(live),
+        (frontier["host"] == F.col("_r_host"))
+        & F.startswith(url_path(frontier["url"]), F.col("path_prefix")),
+        "left",
+    )
+    # longest matching prefix per frontier row decides
+    w = W.partitionBy("url_hash").orderBy(F.length("path_prefix").desc())
+    decided = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .filter(F.col("allow").isNull() | F.col("allow"))
+        .drop("_r_host", "path_prefix", "allow", "_rk")
+    )
+    return decided
+
+
+def select_fetch_set(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    epoch: int,
+    default_budget: int = 8,
+    salt_splits: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the due frontier into (selected, deferred) for this epoch.
+
+    ``selected`` carries ``salted_host`` (fetch-stage partition key) and
+    ``host_rank`` (the deterministic per-host order — the value the
+    crawl-ordering oracle checks). ``deferred`` re-enters the frontier.
+    """
+    due = frontier.filter(F.col("not_before_epoch") <= F.lit(epoch))
+    held = frontier.filter(F.col("not_before_epoch") > F.lit(epoch))
+
+    pol = politeness.select(
+        F.col("host").alias("_p_host"),
+        F.col("budget_per_epoch"),
+        F.col("quarantined_until"),
+    )
+    with_budget = due.join(
+        F.broadcast(pol), due["host"] == F.col("_p_host"), "left"
+    ).select(
+        due["*"],
+        F.coalesce(F.col("budget_per_epoch"), F.lit(default_budget)).alias("_budget"),
+        F.coalesce(F.col("quarantined_until"), F.lit(0)).alias("_quar"),
+    )
+    quarantined = with_budget.filter(F.col("_quar") > F.lit(epoch))
+    eligible = with_budget.filter(F.col("_quar") <= F.lit(epoch))
+
+    order = [F.col(c).asc() for c in ORDER_COLS]
+
+    # phase 1: per-salt local prune (bounds hot-host fan-in to S×budget)
+    salted = eligible.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_splits))
+    ).repartition(F.col("host"), F.col("_salt"))
+    w_local = W.partitionBy("host", "_salt").orderBy(*order)
+    pruned = salted.withColumn("_lrk", F.row_number().over(w_local)).filter(
+        F.col("_lrk") <= F.col("_budget")
+    )
+
+    # phase 2: exact per-host rank over ≤ S×budget survivors
+    w_host = W.partitionBy("host").orderBy(*order)
+    ranked = pruned.withColumn("host_rank", F.row_number().over(w_host))
+    selected = (
+        ranked.filter(F.col("host_rank") <= F.col("_budget"))
+        .withColumn(
+            "salted_host",
+            F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt_splits)).cast("string")),
+        )
+        .drop("_salt", "_lrk", "_budget", "_quar")
+    )
+    over_budget = ranked.filter(F.col("host_rank") > F.col("_budget")).drop(
+        "_salt", "_lrk", "_budget", "_quar", "host_rank"
+    )
+    # rows pruned in phase 1 (local rank > budget) also defer
+    pruned_out = salted.withColumn("_lrk", F.row_number().over(w_local)).filter(
+        F.col("_lrk") > F.col("_budget")
+    ).drop("_salt", "_lrk", "_budget", "_quar")
+    deferred = (
+        held.unionByName(quarantined.drop("_budget", "_quar"))
+        .unionByName(over_budget)
+        .unionByName(pruned_out)
+    )
+    return selected, deferred

@@ -1,0 +1,288 @@
+"""The epoch-based crawl driver loop (SURVEY §3, §4).
+
+One epoch = one Spark job DAG:
+
+    candidates ── robots gate ── intra-batch dedup ── bloom+anti-join vs
+    seen ──► admitted to frontier (+ seen append)
+    frontier ── due filter ── politeness/priority two-phase top-k ──►
+    fetch set ── fetch (corpus join / mapInPandas) ──► outcomes
+    successes ──► span rows + successor candidates
+    failures  ──► retry rows (backoff) / host quarantine
+    everything ──► ONE snapshot commit (frontier, seen, spans, fetch_log,
+    lineage) — resume re-reads the last commit (north_rule).
+
+The reference's equivalent is its nested asyncio loops (SURVEY §3.1); the
+epoch loop linearizes them: each platform page-loop iteration becomes a
+frontier row fetched in some epoch, with cursor chains serialized across
+epochs (risk §7.4.2 — throughput comes from breadth).
+
+Snapshot writes double as iterative-loop lineage truncation: each epoch's
+state is re-read from parquet, so the logical plan never grows with epoch
+count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.dedup import (
+    BloomParams,
+    build_bloom_shards,
+    dedup_against_seen,
+    dedup_within_batch,
+)
+from mediacrawler_spark.operators.extract import (
+    SPAN_ROWS_SCHEMA,
+    assemble_documents,
+    extract_span_rows,
+)
+from mediacrawler_spark.operators.frontier import (
+    FRONTIER_COLS,
+    classify_outcomes,
+    emit_successors,
+    seeds_to_candidates,
+)
+from mediacrawler_spark.operators.politeness import apply_robots, select_fetch_set
+from mediacrawler_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
+from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+from mediacrawler_spark.sources.fetch import fetch_via_corpus
+
+
+@dataclass
+class EngineConfig:
+    default_budget: int = 8
+    salt_splits: int = 8
+    comments_per_page: int = 10
+    max_comments_per_note: int = 500
+    max_epochs: int = 200
+    bloom_fpp: float = 0.01
+    bloom_shards: int = 16
+    epoch_ts: int = 1_700_000_000  # deterministic "now" for robots TTL
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    admitted: int
+    deduped: int
+    fetched: int
+    emitted: int
+
+
+@dataclass
+class RunResult:
+    epochs: list[EpochStats] = field(default_factory=list)
+
+    @property
+    def total_fetched(self) -> int:
+        return sum(e.fetched for e in self.epochs)
+
+    @property
+    def total_admitted(self) -> int:
+        return sum(e.admitted for e in self.epochs)
+
+    @property
+    def total_deduped(self) -> int:
+        return sum(e.deduped for e in self.epochs)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        pages: DataFrame,
+        robots: DataFrame,
+        politeness: DataFrame,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.pages = pages
+        self.robots = robots
+        self.politeness = politeness
+        self.cfg = config or EngineConfig()
+
+    # -- state accessors (resume-aware) --------------------------------------
+    def _frontier(self) -> DataFrame:
+        df = self.catalog.read("frontier")
+        return df if df is not None else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+    def _seen(self) -> DataFrame:
+        df = self.catalog.read("seen")
+        return df if df is not None else self.spark.createDataFrame([], SEEN_SCHEMA)
+
+    def _candidates(self) -> DataFrame:
+        df = self.catalog.read("candidates")
+        return df if df is not None else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+    def _quarantine(self) -> DataFrame:
+        df = self.catalog.read("quarantine")
+        if df is not None:
+            return df
+        return self.spark.createDataFrame(
+            [], "host string, quarantined_until int"
+        )
+
+    def documents(self) -> DataFrame:
+        span_rows = self.catalog.read("span_rows")
+        if span_rows is None:
+            span_rows = self.spark.createDataFrame([], SPAN_ROWS_SCHEMA)
+        return assemble_documents(span_rows)
+
+    def fetch_log(self) -> DataFrame:
+        df = self.catalog.read("fetch_log")
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "epoch int, host string, host_rank int, url string, kind string, status int"
+            )
+        return df
+
+    # -- the loop -------------------------------------------------------------
+    def run(self, seeds: DataFrame | None, max_epochs: int | None = None) -> RunResult:
+        """Run (or resume) the crawl until the frontier drains.
+
+        ``seeds`` is only consumed on a fresh catalog; on resume the
+        candidate/frontier state comes from the last commit.
+        """
+        cfg = self.cfg
+        result = RunResult()
+        start_epoch = self.catalog.committed_epoch() + 1
+        if start_epoch == 0:
+            if seeds is None:
+                raise ValueError("fresh run needs seeds")
+            candidates = seeds_to_candidates(seeds, epoch=0)
+        else:
+            candidates = self._candidates()
+
+        frontier = self._frontier()
+        seen = self._seen()
+        quarantine = self._quarantine()
+
+        for epoch in range(start_epoch, start_epoch + (max_epochs or cfg.max_epochs)):
+            # Every stage below is computed ONCE and materialized (staged to
+            # the snapshot), then downstream reads the materialized result —
+            # no chain is re-executed for counts or secondary consumers.
+
+            # 1. admission: robots → intra-batch dedup → bloom+anti-join
+            gated = apply_robots(candidates, self.robots, cfg.epoch_ts)
+            unique_batch = dedup_within_batch(gated)
+            n_batch = unique_batch.count()
+            params = BloomParams.size(
+                max(1024, n_batch * 4), cfg.bloom_fpp, cfg.bloom_shards
+            )
+            shards_bc = build_bloom_shards(seen, params)
+            admitted = (
+                dedup_against_seen(unique_batch, seen, self.spark, shards_bc=shards_bc)
+                .withColumn("epoch", F.lit(epoch))
+                .withColumn(
+                    "not_before_epoch", F.greatest("not_before_epoch", F.lit(epoch))
+                )
+                .select(*FRONTIER_COLS)
+            )
+            self.catalog.stage_append(
+                admitted.select("url_hash", "url"), "seen", epoch
+            )
+            self.catalog.stage_append(admitted, "admitted", epoch)
+            admitted = self.catalog.read_staged("admitted", epoch)
+            n_admitted = admitted.count()
+            n_dedup = n_batch - n_admitted
+            frontier = frontier.unionByName(admitted)
+
+            # 2. selection: politeness budgets + dynamic quarantine
+            pol = (
+                self.politeness.alias("p")
+                .join(quarantine.alias("q"), on="host", how="left")
+                .select(
+                    F.col("host"),
+                    F.col("p.budget_per_epoch"),
+                    F.greatest(
+                        F.col("p.quarantined_until"),
+                        F.coalesce(F.col("q.quarantined_until"), F.lit(0)),
+                    ).alias("quarantined_until"),
+                )
+            )
+            selected, _ = select_fetch_set(
+                frontier, pol, epoch, cfg.default_budget, cfg.salt_splits
+            )
+
+            # 3. fetch — materialized once; everything downstream reads it
+            fetched = fetch_via_corpus(selected, self.pages)
+            self.catalog.stage_append(fetched, "fetched", epoch)
+            fetched = self.catalog.read_staged("fetched", epoch)
+            n_fetched = fetched.count()
+            # deferred = frontier minus what was fetched (cheap anti-join —
+            # avoids re-running the selection windows a second time)
+            deferred = frontier.join(
+                fetched.select("url_hash"), on="url_hash", how="left_anti"
+            )
+
+            out = classify_outcomes(fetched, epoch)
+            successes = out["successes"]
+
+            # 4. extraction + successors
+            spans_e = extract_span_rows(
+                successes, cfg.comments_per_page, cfg.max_comments_per_note
+            )
+            successors = emit_successors(
+                successes, epoch, cfg.comments_per_page, cfg.max_comments_per_note
+            )
+            fetch_log_e = fetched.select(
+                F.lit(epoch).alias("epoch"),
+                F.col("host"),
+                F.col("host_rank").cast("int"),
+                F.col("url"),
+                F.col("kind"),
+                F.col("status").cast("int"),
+            )
+
+            # 5. state transition
+            frontier_next = deferred.select(*FRONTIER_COLS).unionByName(
+                out["retries"].select(*FRONTIER_COLS)
+            )
+            quarantine = (
+                quarantine.unionByName(out["quarantined_hosts"])
+                .groupBy("host")
+                .agg(F.max("quarantined_until").alias("quarantined_until"))
+            )
+
+            # 6. snapshot commit (atomic; also truncates plan lineage)
+            self.catalog.stage(frontier_next, "frontier")
+            self.catalog.stage(successors, "candidates")
+            self.catalog.stage(quarantine, "quarantine")
+            self.catalog.stage_append(spans_e, "span_rows", epoch)
+            self.catalog.stage_append(fetch_log_e, "fetch_log", epoch)
+            n_emitted = self.catalog.read_staged_version("candidates").count()
+            lineage_e = (
+                fetched.groupBy(
+                    F.lit(epoch).alias("frontier_epoch"),
+                    F.pmod(F.xxhash64("salted_host"), F.lit(1024))
+                    .cast("int")
+                    .alias("partition_id"),
+                )
+                .agg(
+                    F.count("*").alias("fetch_count"),
+                    F.lit(n_dedup).cast("long").alias("dedup_count"),
+                    F.lit(n_emitted).cast("long").alias("emitted_count"),
+                )
+                .withColumn("committed_at", F.lit(cfg.epoch_ts + epoch).cast("long"))
+            )
+            self.catalog.stage_append(lineage_e, "lineage", epoch)
+            self.catalog.commit(epoch)
+
+            # re-read state: bounds DAG depth across epochs
+            frontier = self._frontier()
+            seen = self._seen()
+            candidates = self._candidates()
+
+            result.epochs.append(
+                EpochStats(epoch, n_admitted, n_dedup, n_fetched, n_emitted)
+            )
+            if n_fetched == 0 and n_emitted == 0 and n_admitted == 0:
+                # frontier may still hold backoff rows; drained otherwise
+                if frontier.count() == 0:
+                    break
+        return result

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode settings follow the public Spark tuning guidance: shuffle
+partitions ≈ cores (not the 200 default), AQE on for runtime re-planning
+(skew join, partition coalescing), Arrow on for every pandas UDF hop,
+UTC session timezone so results hash-match the DuckDB oracle.
+
+On a real cluster the same builder is used via ``spark-submit --py-files``;
+only master/memory come from the submit command line.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mediacrawler_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` controls ``local[N]`` parallelism in the sandbox; on a
+    cluster the master is taken from spark-submit and this arg is unused.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # Frontier/seen tables are hashed on url_hash; joins on that key
+        # shouldn't be re-shuffled when both sides already agree.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,139 @@
+"""Snapshot catalog: atomic per-epoch commits with resume (SURVEY §4, K3).
+
+Production design is Apache Iceberg: each epoch commits frontier + seen +
+span/document + lineage changes as ONE Iceberg snapshot; resume reads the
+latest snapshot. The sandbox image has no Iceberg jars (no network), so
+this module implements the same contract over parquet:
+
+- every table version is written to ``<root>/<table>/v=<n>/`` (immutable),
+- a commit appends one JSON line to ``<root>/_commits.jsonl`` naming the
+  epoch and every table version it pins — the append IS the atomic commit
+  point (torn writes of uncommitted parquet dirs are simply never
+  referenced, exactly like Iceberg's metadata-pointer swap),
+- resume = read the last complete commit line.
+
+``merge_upsert`` reproduces the reference's SELECT-then-INSERT-or-UPDATE
+sink (store/xhs/xhs_store_impl.py:114-172): ``when matched update``
+preserves insert-only columns (``add_ts`` — xhs_store_impl.py:130-131),
+``when not matched insert``. Implemented as anti-join + union (the
+MERGE INTO emulation for a parquet-backed table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._log = os.path.join(root, "_commits.jsonl")
+        self._pending: dict[str, int] = {}
+        self._pending_appends: dict[str, list[int]] = {}
+        self._versions: dict[str, int] = {}
+        self._appends: dict[str, list[int]] = {}
+        last = self.last_commit()
+        if last:
+            self._versions = dict(last["tables"])
+            self._appends = {k: list(v) for k, v in last.get("appends", {}).items()}
+
+    # -- commit log ---------------------------------------------------------
+    def last_commit(self) -> dict | None:
+        if not os.path.exists(self._log):
+            return None
+        last = None
+        with open(self._log) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    last = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # torn tail line = uncommitted
+        return last
+
+    def committed_epoch(self) -> int:
+        last = self.last_commit()
+        return -1 if last is None else int(last["epoch"])
+
+    # -- table io ------------------------------------------------------------
+    def _path(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"v={version}")
+
+    def stage(self, df: DataFrame, table: str) -> None:
+        """Write the next full version of ``table`` (not yet visible).
+        For replace-style tables (frontier churn, quarantine)."""
+        v = self._versions.get(table, -1) + 1
+        df.write.mode("overwrite").parquet(self._path(table, v))
+        self._pending[table] = v
+
+    def stage_append(self, df: DataFrame, table: str, epoch: int) -> None:
+        """Write one epoch's increment of an append-only table (seen,
+        span_rows, fetch_log, lineage) — the Iceberg append-snapshot
+        analog; never rewrites history."""
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, table, f"e={epoch}")
+        )
+        self._pending_appends.setdefault(table, []).append(epoch)
+
+    def commit(self, epoch: int) -> None:
+        """Make all staged versions visible atomically."""
+        tables = {**self._versions, **self._pending}
+        appends = {
+            t: sorted(set(self._appends.get(t, []) + self._pending_appends.get(t, [])))
+            for t in set(self._appends) | set(self._pending_appends)
+        }
+        rec = {
+            "epoch": epoch,
+            "tables": tables,
+            "appends": appends,
+            "committed_at": int(time.time()),
+        }
+        with open(self._log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._versions = tables
+        self._appends = appends
+        self._pending = {}
+        self._pending_appends = {}
+
+    def read_staged_version(self, table: str) -> DataFrame:
+        """Read the staged (pending) full version of a replace table."""
+        return self.spark.read.parquet(self._path(table, self._pending[table]))
+
+    def read_staged(self, table: str, epoch: int) -> DataFrame:
+        """Read one staged (not yet committed) epoch increment back — used
+        to materialize a stage mid-epoch so downstream consumers don't
+        recompute its plan."""
+        return self.spark.read.parquet(os.path.join(self.root, table, f"e={epoch}"))
+
+    def read(self, table: str) -> DataFrame | None:
+        if table in self._versions:
+            return self.spark.read.parquet(self._path(table, self._versions[table]))
+        epochs = self._appends.get(table)
+        if not epochs:
+            return None
+        paths = [os.path.join(self.root, table, f"e={e}") for e in epochs]
+        return self.spark.read.parquet(*paths)
+
+    def has(self, table: str) -> bool:
+        return table in self._versions or bool(self._appends.get(table))
+
+
+def merge_upsert(existing: DataFrame | None, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO emulation: rows of ``updates`` win on key collision;
+    unmatched existing rows are kept. Insert-only column semantics are the
+    caller's job (pass updates that already carry the preserved values)."""
+    if existing is None:
+        return updates
+    kept = existing.join(updates.select(key).distinct(), on=key, how="left_anti")
+    return kept.unionByName(updates)
