@@ -37,9 +37,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — makes the filter distribution-robust even if
+    keys are not already uniform (url_hash is xxhash64, but don't rely on it)."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _positions(url_hash: np.ndarray, k: int, m_bits: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing. url_hash: int64 array."""
-    u = url_hash.astype(np.uint64)
+    """(n, k) bit positions via Kirsch–Mitzenmacher double hashing."""
+    u = _mix64(url_hash.astype(np.int64))
     h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     h2 = ((u >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
     i = np.arange(k, dtype=np.uint64)

@@ -45,6 +45,7 @@ from mediacrawler_spark.operators.frontier import (
     emit_successors,
     seeds_to_candidates,
 )
+from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
 from mediacrawler_spark.operators.politeness import apply_robots, select_fetch_set
 from mediacrawler_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
 from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
@@ -167,7 +168,14 @@ class CrawlEngine:
             # the snapshot), then downstream reads the materialized result —
             # no chain is re-executed for counts or secondary consumers.
 
-            # 1. admission: robots → intra-batch dedup → bloom+anti-join
+            # 1. admission: canonicalize → robots → intra-batch dedup →
+            #    bloom+anti-join (successor URLs from live pages may be
+            #    non-canonical; fixture URLs already are — no-op there)
+            candidates = (
+                candidates.withColumn("url", canonicalize_urls(F.col("url")))
+                .withColumn("url_hash", F.xxhash64("url"))
+                .withColumn("host", host_of(F.col("url")))
+            )
             gated = apply_robots(candidates, self.robots, cfg.epoch_ts)
             unique_batch = dedup_within_batch(gated)
             n_batch = unique_batch.count()

@@ -1,0 +1,144 @@
+"""End-to-end: Spark engine vs the single-threaded Python oracle.
+
+The three BASELINE.json correctness criteria:
+1. crawl-ordering match rate == 1.0 (per-host fetch sequences),
+2. final URL-seen set exactly equal,
+3. span-sequence equality per document (the per-row invariant).
+Plus: resume-from-snapshot equivalence (kill after epoch k).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.oracle import CrawlOracle
+from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+CFG = EngineConfig(max_comments_per_note=25, max_epochs=80)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, universe, udfs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("snap_e2e"))
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(
+        spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], CFG
+    )
+    res = eng.run(udfs["seeds"])
+    return eng, res
+
+
+@pytest.fixture(scope="module")
+def oracle_result(universe):
+    o = CrawlOracle(
+        universe.pages,
+        universe.robots,
+        universe.politeness,
+        default_budget=CFG.default_budget,
+        comments_per_page=CFG.comments_per_page,
+        max_comments_per_note=CFG.max_comments_per_note,
+        epoch_ts=CFG.epoch_ts,
+    )
+    return o.run(universe.seeds)
+
+
+def test_seen_set_exact_equality(engine_result, oracle_result):
+    eng, _ = engine_result
+    got = {r["url"] for r in eng.catalog.read("seen").collect()}
+    assert got == oracle_result.seen
+
+
+def test_crawl_ordering_match(engine_result, oracle_result):
+    eng, _ = engine_result
+    log = (
+        eng.fetch_log()
+        .orderBy("host", "epoch", "host_rank")
+        .select("host", "url", "epoch", "kind")
+        .collect()
+    )
+    got: dict[str, list] = {}
+    for r in log:
+        got.setdefault(r["host"], []).append((r["url"], r["epoch"], r["kind"]))
+    assert set(got) == set(oracle_result.fetch_order)
+    mismatches = {
+        h: (got[h], oracle_result.fetch_order[h])
+        for h in got
+        if got[h] != oracle_result.fetch_order[h]
+    }
+    assert not mismatches, f"ordering mismatch on {len(mismatches)} hosts: " + str(
+        dict(list(mismatches.items())[:1])
+    )
+
+
+def test_span_sequence_equality(engine_result, oracle_result):
+    eng, _ = engine_result
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in eng.documents().collect()
+    }
+    assert set(got) == set(oracle_result.documents)
+    for doc_id, want in oracle_result.documents.items():
+        assert got[doc_id] == want, f"span mismatch in {doc_id}"
+
+
+def test_fetch_counts_match(engine_result, oracle_result):
+    _, res = engine_result
+    assert res.total_fetched == oracle_result.total_fetched
+
+
+def test_mandatory_cases_exercised(oracle_result, universe):
+    """The universe actually contains the FIXTURES.md mandatory cases."""
+    all_fetches = [u for fs in oracle_result.fetch_order.values() for (u, _, _) in fs]
+    assert any("/comments/" in u for u in all_fetches)
+    assert any("/subcomments/" in u for u in all_fetches)
+    assert any("/search?" in u for u in all_fetches)
+    # two-strike rule: the extra empty page (page=3 of last keyword) never fetched
+    assert any(u.endswith("page=2") for u in all_fetches)
+    assert not any(u.endswith("page=3") for u in all_fetches)
+    # robots-denied private seed never fetched, never seen
+    assert not any("/private/" in u for u in all_fetches)
+    assert not any("/private/" in u for u in oracle_result.seen)
+    # denied comments host: comment pages never fetched there
+    from mediacrawler_spark.fixtures import DENIED_COMMENTS_HOST
+    assert not any(
+        "/comments/" in u
+        for (u, _, _) in oracle_result.fetch_order.get(DENIED_COMMENTS_HOST, [])
+    )
+
+
+def test_resume_equivalence(spark, udfs, universe, tmp_path):
+    root = str(tmp_path / "snap_resume")
+    cat = SnapshotCatalog(spark, root)
+    eng1 = CrawlEngine(spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], CFG)
+    eng1.run(udfs["seeds"], max_epochs=2)
+    assert cat.committed_epoch() == 1
+    # fresh engine + catalog objects — only the on-disk snapshot carries over
+    eng2 = CrawlEngine(
+        spark, SnapshotCatalog(spark, root), udfs["pages"], udfs["robots"], udfs["politeness"], CFG
+    )
+    eng2.run(None)
+
+    oracle = CrawlOracle(
+        universe.pages, universe.robots, universe.politeness,
+        default_budget=CFG.default_budget,
+        comments_per_page=CFG.comments_per_page,
+        max_comments_per_note=CFG.max_comments_per_note,
+        epoch_ts=CFG.epoch_ts,
+    ).run(universe.seeds)
+    got_seen = {r["url"] for r in eng2.catalog.read("seen").collect()}
+    assert got_seen == oracle.seen
+    got_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in eng2.documents().collect()
+    }
+    assert got_docs == oracle.documents
+
+
+def test_lineage_written(engine_result):
+    eng, res = engine_result
+    lin = eng.catalog.read("lineage")
+    assert lin is not None
+    total = lin.agg(F.sum("fetch_count").alias("s")).collect()[0]["s"]
+    assert total == res.total_fetched

@@ -1,0 +1,104 @@
+"""Priority/politeness window (W1/J6) + robots gate (S8/J5)."""
+
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.politeness import apply_robots, select_fetch_set
+from mediacrawler_spark.schemas import FRONTIER_SCHEMA
+
+
+def _frontier(spark, rows):
+    """rows: (url, url_hash, host, kind, priority, seq, not_before)"""
+    full = [
+        (u, h, host, "xhs", kind, pr, seq, None, "", -1, 0, 0, nb, 0)
+        for (u, h, host, kind, pr, seq, nb) in rows
+    ]
+    return spark.createDataFrame(full, FRONTIER_SCHEMA)
+
+
+def _pol(spark, budgets, quarantined=()):
+    q = dict(quarantined)
+    return spark.createDataFrame(
+        [(h, b, q.get(h, 0)) for h, b in budgets.items()],
+        "host string, budget_per_epoch int, quarantined_until int",
+    )
+
+
+def test_budget_and_priority_order(spark):
+    # 6 rows on one host, budget 3: the three (priority, seq)-smallest win
+    rows = [
+        (f"https://a/{i}", i, "a", "detail" if p == 0 else "comment_page", p, s, 0)
+        for i, (p, s) in enumerate([(1, 0), (0, 2), (0, 0), (1, 1), (0, 1), (1, 2)])
+    ]
+    fr = _frontier(spark, rows)
+    sel, deferred = select_fetch_set(fr, _pol(spark, {"a": 3}), epoch=0)
+    got = [(r["priority"], r["seq"], r["host_rank"]) for r in sel.orderBy("host_rank").collect()]
+    assert got == [(0, 0, 1), (0, 1, 2), (0, 2, 3)]
+    assert deferred.count() == 3
+
+
+def test_budget_is_per_host(spark):
+    rows = [(f"https://{h}/{i}", h_i * 100 + i, h, "detail", 0, i, 0)
+            for h_i, h in enumerate(["a", "b"]) for i in range(5)]
+    fr = _frontier(spark, rows)
+    sel, _ = select_fetch_set(fr, _pol(spark, {"a": 2, "b": 4}), epoch=0)
+    counts = {r["host"]: r["n"] for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 2, "b": 4}
+
+
+def test_not_before_defers(spark):
+    rows = [("https://a/1", 1, "a", "detail", 0, 0, 5), ("https://a/2", 2, "a", "detail", 0, 1, 0)]
+    fr = _frontier(spark, rows)
+    sel, deferred = select_fetch_set(fr, _pol(spark, {"a": 10}), epoch=0)
+    assert [r["url"] for r in sel.collect()] == ["https://a/2"]
+    assert [r["url"] for r in deferred.collect()] == ["https://a/1"]
+
+
+def test_quarantine_defers_whole_host(spark):
+    rows = [("https://a/1", 1, "a", "detail", 0, 0, 0), ("https://b/1", 2, "b", "detail", 0, 0, 0)]
+    fr = _frontier(spark, rows)
+    sel, deferred = select_fetch_set(
+        fr, _pol(spark, {"a": 5, "b": 5}, quarantined={"a": 3}), epoch=1
+    )
+    assert [r["host"] for r in sel.collect()] == ["b"]
+    assert [r["host"] for r in deferred.collect()] == ["a"]
+
+
+def test_selection_deterministic_across_runs(spark):
+    rows = [(f"https://a/{i}", i * 977, "a", "detail", 0, 0, 0) for i in range(50)]
+    fr = _frontier(spark, rows).repartition(7)
+    sel1, _ = select_fetch_set(fr, _pol(spark, {"a": 10}), epoch=0)
+    sel2, _ = select_fetch_set(fr.repartition(3), _pol(spark, {"a": 10}), epoch=0)
+    a = sorted(r["url"] for r in sel1.collect())
+    b = sorted(r["url"] for r in sel2.collect())
+    assert a == b
+
+
+def test_robots_longest_prefix_wins(spark):
+    fr = _frontier(
+        spark,
+        [
+            ("https://a/ok/1", 1, "a", "detail", 0, 0, 0),
+            ("https://a/private/1", 2, "a", "detail", 0, 0, 0),
+            ("https://a/private/pub/1", 3, "a", "detail", 0, 0, 0),
+            ("https://norules/x", 4, "norules", "detail", 0, 0, 0),
+        ],
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a", "/", True, 1.0, 4_000_000_000),
+            ("a", "/private", False, 1.0, 4_000_000_000),
+            ("a", "/private/pub", True, 1.0, 4_000_000_000),
+        ],
+        "host string, path_prefix string, allow boolean, crawl_delay double, expires_at long",
+    )
+    got = sorted(r["url"] for r in apply_robots(fr, robots, 0).collect())
+    assert got == ["https://a/ok/1", "https://a/private/pub/1", "https://norules/x"]
+
+
+def test_robots_expired_rule_ignored(spark):
+    fr = _frontier(spark, [("https://a/private/1", 1, "a", "detail", 0, 0, 0)])
+    robots = spark.createDataFrame(
+        [("a", "/private", False, 1.0, 100)],
+        "host string, path_prefix string, allow boolean, crawl_delay double, expires_at long",
+    )
+    assert apply_robots(fr, robots, epoch_ts=200).count() == 1
