@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "urls/sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Components:
+- ``frontier``: the BASELINE.json headline — URLs scheduled+deduped/sec on
+  a synthetic seed list (canonicalize → hash → dedup → bloom+anti-join →
+  politeness top-k), all generated Spark-side.
+- ``queries``: wall seconds for the heavyweight analytics/corpus operators
+  from __spark_entry__.py at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_FRONTIER_URLS,
+BENCH_SKIP_QUERIES=1 (frontier-only, used by the scaling runner).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", "2000000"))
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
+
+    from mediacrawler_spark.bench_workloads import frontier_bench
+    from mediacrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="mediacrawler_spark_bench", cpus=cpus)
+
+    fr = frontier_bench(spark, n_urls=n_urls)
+
+    queries: dict[str, float] = {"frontier_admit_select": fr["seconds"]}
+    if not skip_queries:
+        import __spark_entry__ as entry_mod
+
+        qmap = entry_mod.queries()
+        bench_queries = [
+            "a1_wordcount_top20",
+            "j2_broadcast_dim_join",
+            "w1_priority_topk",
+            "w4_running_truncation",
+            "sessionize",
+            "window_5min",
+            "dedup_exact_count",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "sim_cosine_topk",
+            "sim_ann_lsh",
+            "txt_langid",
+            "media_decode",
+        ]
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            n = qmap[name](spark, sf_dir).count()
+            queries[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": fr["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": sf_val,
+        "frontier": fr,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

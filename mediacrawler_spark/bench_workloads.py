@@ -1,0 +1,132 @@
+"""Benchmark workloads.
+
+``frontier_bench`` is the BASELINE.json metric job: URLs scheduled+deduped
+per second on a synthetic seed list with the reference politeness shape.
+The seed list is generated *inside Spark* (``spark.range`` + column
+expressions — no driver-side data, no I/O floor), with the FIXTURES.md
+skew: one hot host holds ~50% of URLs, a warm tier shares the rest.
+
+One measured iteration =
+    canonicalize (vectorized pandas UDF)
+  → xxhash64 keys
+  → intra-batch dedup (hash agg, deterministic winner)
+  → Bloom-shard build over the seen set + broadcast probe
+  → exact anti-join confirmation
+  → two-phase salted politeness/priority top-k selection
+i.e. the admission+selection half of an epoch — the part whose throughput
+bounds the whole engine (fetching is I/O-bound and politeness-capped by
+design; scheduling is what must scale to 10^10).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
+from mediacrawler_spark.operators.dedup import (
+    BloomParams,
+    build_bloom_shards,
+    dedup_against_seen,
+    dedup_within_batch,
+)
+from mediacrawler_spark.operators.politeness import select_fetch_set
+
+
+def synthetic_seed_urls(spark: SparkSession, n_urls: int, n_hosts: int = 100,
+                        dup_frac: float = 0.2) -> DataFrame:
+    """n_urls candidate rows, ~dup_frac of which are repeats of earlier
+    URLs (intra-batch dups), hot-host skew ~50%."""
+    base = int(n_urls * (1 - dup_frac)) or 1
+    df = spark.range(n_urls)
+    note = (F.col("id") % base).cast("long")  # repeats beyond `base` → dups
+    h = F.xxhash64(note)
+    host = F.when(F.pmod(h, F.lit(2)) == 0, F.lit("h0.example.test")).otherwise(
+        F.concat(F.lit("h"), (F.pmod(h, F.lit(n_hosts)) + 1).cast("string"),
+                 F.lit(".example.test"))
+    )
+    return df.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/note/"),
+            F.lpad(F.conv(note.cast("string"), 10, 16), 16, "0"),
+            # un-canonical noise the canonicalizer must strip:
+            F.lit("?utm_source=bench&b=2&a=1"),
+        ).alias("url"),
+        F.when(F.pmod(h, F.lit(4)) == 0, 1).otherwise(0).alias("priority"),
+        (F.col("id") % 1000).cast("long").alias("seq"),
+    )
+
+
+def synthetic_seen(spark: SparkSession, seeds_hashed: DataFrame, frac: float = 0.3) -> DataFrame:
+    """A seen set covering ~frac of the distinct candidate URLs."""
+    return (
+        seeds_hashed.select("url_hash", "url")
+        .filter(F.pmod(F.col("url_hash"), F.lit(int(1 / frac))) == 0)
+        .dropDuplicates(["url_hash"])
+    )
+
+
+def frontier_bench(
+    spark: SparkSession,
+    n_urls: int = 2_000_000,
+    n_hosts: int = 100,
+    budget: int = 1_000_000,
+    bloom_shards: int = 32,
+    warmup: bool = True,
+) -> dict:
+    """Returns {'urls': n, 'seconds': s, 'urls_per_sec': r, ...}."""
+    raw = synthetic_seed_urls(spark, n_urls, n_hosts)
+
+    def admit_and_select() -> tuple[int, int, int]:
+        cand = (
+            raw.withColumn("url", canonicalize_urls(F.col("url")))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("platform", F.lit("xhs"))
+            .withColumn("kind", F.lit("detail"))
+            .withColumn("parent_id", F.lit(None).cast("string"))
+            .withColumn("cursor", F.lit(""))
+            .withColumn("parent_seq", F.lit(-1).cast("long"))
+            .withColumn("empty_streak", F.lit(0))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("not_before_epoch", F.lit(0))
+            .withColumn("epoch", F.lit(0))
+        )
+        unique = dedup_within_batch(cand)
+        seen = synthetic_seen(spark, unique)
+        params = BloomParams.size(max(1024, n_urls), fpp=0.01, n_shards=bloom_shards)
+        shards = build_bloom_shards(seen, params)
+        admitted = dedup_against_seen(unique, seen, spark, shards_bc=shards)
+        politeness = spark.createDataFrame(
+            [("h0.example.test", budget, 0)]
+            + [(f"h{i}.example.test", budget, 0) for i in range(1, n_hosts + 1)],
+            "host string, budget_per_epoch int, quarantined_until int",
+        )
+        selected, _deferred = select_fetch_set(admitted, politeness, epoch=0,
+                                               default_budget=budget)
+        n_sel = selected.count()
+        n_adm = admitted.count()
+        return n_sel, n_adm, n_urls
+
+    if warmup:  # JIT/codegen warmup on 1% of the data
+        small = min(50_000, n_urls)
+        _ = (
+            synthetic_seed_urls(spark, small, n_hosts)
+            .withColumn("url", canonicalize_urls(F.col("url")))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .count()
+        )
+
+    t0 = time.perf_counter()
+    n_sel, n_adm, n_in = admit_and_select()
+    dt = time.perf_counter() - t0
+    return {
+        "urls": n_in,
+        "admitted": n_adm,
+        "selected": n_sel,
+        "deduped": n_in - n_adm,
+        "seconds": round(dt, 3),
+        "urls_per_sec": round(n_in / dt, 1),
+    }

@@ -1,0 +1,121 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All pure column expressions (JVM codegen) unless noted. These power the
+analytics parity ops (SURVEY A1/A2: the reference's jieba word-frequency
+top-k, tools/words.py:41-61) and the large-scale corpus-prep operators
+(language ID, quality scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small function-word inventory per language for the n-gram/stopword
+# language-ID heuristic. Real deployments would broadcast a bigger table;
+# the *operator shape* (array_intersect against a literal set) is the same.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punct tokenizer (BPE-ish regex split), lowercased."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(col)
+    p = n - F.length(F.regexp_replace(col, r"[\p{Punct}]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_LANG_STOPWORDS[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable mean token length + stopword presence. Deterministic, all
+    codegen — the Gopher/C4-style cheap filter for corpus prep."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(col) > 0.0, 1.0).otherwise(0.0)
+    return (len_ok + mtl_ok + punct_ok + stop_ok) / 4.0
+
+
+def _stopword_hits(toks: Column, sw: list[str]) -> Column:
+    # NB: a single-param lambda on purpose — PySpark treats a second lambda
+    # param (even defaulted) as the element-index argument.
+    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID across the inventory; 'und' when no hits."""
+    toks = tokens(col)
+    scores = F.array(
+        *[
+            F.struct(
+                _stopword_hits(toks, sw).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(_LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (whitespace-
+    collapsed, lowercased) — the exact-dedup key."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (distinct) for MinHash/Jaccard."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

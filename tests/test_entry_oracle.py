@@ -1,0 +1,65 @@
+"""Mimic the driver's correctness harness: every queries() entry runs at
+sf0.001 (fast) and, where an oracle exists, matches DuckDB row-for-row
+(order-insensitive, column names sorted — the driver's comparison)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def _rows_to_set(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize(row[i]) for i in idx) for row in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs_and_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    rows = df.collect()
+    cols = df.columns
+    assert rows is not None  # query executes
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        return  # rows-only check
+    want = duck.execute(sql).fetchall()
+    want_cols = [d[0] for d in duck.execute(sql).description]
+    assert sorted(cols) == sorted(want_cols), f"{name}: column names differ"
+    assert len(rows) == len(want), f"{name}: row count {len(rows)} vs {len(want)}"
+    got_n = _rows_to_set(cols, [[r[c] for c in cols] for r in rows])
+    want_n = _rows_to_set(want_cols, want)
+    assert got_n == want_n, f"{name}: values differ, e.g. {got_n[:2]} vs {want_n[:2]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["word", "n"]

@@ -1,0 +1,62 @@
+"""Similarity search: brute-force exactness + ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    # 3 well-separated clusters so ground truth is unambiguous
+    centers = rng.standard_normal((3, DIM)) * 5
+    rows = []
+    for i in range(N):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(DIM) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _numpy_topk(emb_rows, k=3, n_queries=6):
+    ids = np.array([r[0] for r in emb_rows])
+    m = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    out = {}
+    for qi in range(n_queries):
+        order = sorted(
+            ((-sims[qi, j], ids[j]) for j in range(len(ids)) if ids[j] != ids[qi])
+        )
+        out[qi] = [int(nid) for _, nid in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    want = _numpy_topk([(r["vec_id"], r["embedding"]) for r in rows])
+    q = emb.filter(F.col("vec_id") < 6)
+    got_rows = cosine_topk(emb, q, k=3).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == want
+
+
+def test_ann_lsh_recall(spark, emb):
+    rows = emb.collect()
+    want = _numpy_topk([(r["vec_id"], r["embedding"]) for r in rows])
+    q = emb.filter(F.col("vec_id") < 6)
+    got_rows = ann_lsh_topk(emb, q, dim=DIM, k=3, n_planes=10).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(qi, set()) & set(want[qi])) for qi in want)
+    total = sum(len(v) for v in want.values())
+    recall = hits / total
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
