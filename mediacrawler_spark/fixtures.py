@@ -70,6 +70,7 @@ class UniverseParams:
     n_hosts: int = 20  # warm hosts (h1..hN)
     n_singleton_hosts: int = 5
     n_keywords: int = 3
+    n_creators: int = 3
     search_pages_per_keyword: int = 2
     max_comments_per_note: int = 25  # engine budget; truncation case derives from it
     seed: int = 42
@@ -377,13 +378,78 @@ def build_universe(p: UniverseParams | None = None) -> Universe:
                 }
             )
 
+    # --- creator seeds + listing page chains (S3/S6) ------------------------
+    # Creator c owns up to 15 notes of one host; listing pages of 10 with a
+    # profile pseudo-item on page 1 (reference: profile fetch then
+    # cursor-paged post list — xhs/client.py:432-452,476-519). Their notes
+    # overlap the detail/search-seeded ones → dedup J1 across entry paths.
+    creator_hosts = [HOT_HOST] + [
+        f"h{3 + k}.example.test" for k in range(max(0, p.n_creators - 1))
+    ]
+    for c in range(p.n_creators):
+        host = creator_hosts[c % len(creator_hosts)]
+        uid = f"u{c:04d}"
+        owned = [m for m in note_meta if m["host"] == host][:15]
+        seeds_rows.append(
+            {
+                "url": f"https://{host}/user/{uid}?cursor=0",
+                "platform": "xhs",
+                "kind": "listing",
+                "keyword": None,
+                "priority": 0,
+                "seq": 0,
+            }
+        )
+        n_lpages = max(1, (len(owned) + ITEMS_PER_SEARCH_PAGE - 1) // ITEMS_PER_SEARCH_PAGE)
+        for lp in range(n_lpages):
+            chunk = owned[lp * ITEMS_PER_SEARCH_PAGE : (lp + 1) * ITEMS_PER_SEARCH_PAGE]
+            items = []
+            if lp == 0:
+                items.append(
+                    {
+                        "id": uid,
+                        "model_type": "creator_profile",
+                        "comments_count": 0,
+                        "title": f"creator {uid}",
+                        "text": _text(c + 900_000, 5, 6),
+                        "image_refs": [],
+                        "video_ref": "",
+                    }
+                )
+            for m in chunk:
+                items.append(
+                    {
+                        "id": m["nid"],
+                        "model_type": "note",
+                        "comments_count": m["comments_count"],
+                        "title": f"t {m['nid'][-6:]}",
+                        "text": "",
+                        "image_refs": [],
+                        "video_ref": "",
+                    }
+                )
+            has_more = lp < n_lpages - 1
+            pages_rows.append(
+                {
+                    "url": f"https://{host}/user/{uid}?cursor={lp}",
+                    "status": 200,
+                    "body_kind": "listing_page",
+                    "note_id": uid,
+                    "has_more": has_more,
+                    "next_cursor": str(lp + 1) if has_more else "",
+                    "items": items,
+                    "comments": [],
+                    "fail_times": 0,
+                }
+            )
+
     # --- robots rules --------------------------------------------------------
     # - a seed under /private on the hot host is denied (must never be
     #   fetched nor enter the seen set),
     # - comment pages on DENIED_COMMENTS_HOST are denied → its documents
     #   carry no comment spans.
     robots_rows = []
-    all_hosts = sorted({m["host"] for m in note_meta} | set(kw_hosts))
+    all_hosts = sorted({m["host"] for m in note_meta} | set(kw_hosts) | set(creator_hosts))
     far_future = 4_000_000_000
     for h in all_hosts:
         robots_rows.append(

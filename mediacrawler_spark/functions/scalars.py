@@ -30,7 +30,7 @@ def parse_count(col: Column) -> Column:
     *ignoring* the 万/亿 multiplier; we reproduce that exact semantic for
     parity (first run of digits, else 0).
     """
-    digits = F.regexp_extract(col, r"(\d+)", 1)
+    digits = F.regexp_extract(F.coalesce(col, F.lit("")), r"(\d+)", 1)
     return F.when(digits == "", F.lit(0)).otherwise(digits.cast("bigint"))
 
 
@@ -55,7 +55,7 @@ def search_id(keyword: Column, epoch: Column) -> Column:
 
 def cookie_to_map(col: Column) -> Column:
     """Cookie string → map (reference: tools/crawler_util.py:134-159)."""
-    return F.str_to_map(col, F.lit(";\s*"), F.lit("="))
+    return F.str_to_map(col, F.lit(r";\s*"), F.lit("="))
 
 
 def gender_label(col: Column) -> Column:

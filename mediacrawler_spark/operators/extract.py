@@ -101,6 +101,34 @@ def extract_span_rows(
         F.lit("").alias("text"), F.col("video_ref").alias("media_ref"),
     )
 
+    # --- creator profile (first listing page carries a profile item) --------
+    profile = (
+        successes.filter(F.col("kind") == "listing")
+        .select(
+            F.col("platform"),
+            F.col("note_id").alias("uid"),
+            F.explode(F.col("items")).alias("it"),
+        )
+        .filter(F.col("it.model_type") == "creator_profile")
+        .select(
+            F.concat(F.col("platform"), F.lit(":creator:"), F.col("uid")).alias("doc_id"),
+            F.col("it.title").alias("title"),
+            F.col("it.text").alias("text"),
+        )
+    )
+    p_title = profile.select(
+        "doc_id", F.lit(0).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        zero.alias("s_idx"), F.lit("title").alias("kind"),
+        F.col("title").alias("text"), F.lit("").alias("media_ref"),
+    )
+    p_body = profile.select(
+        "doc_id", F.lit(1).alias("s_sec"), zero.alias("s_page"),
+        F.lit(0).alias("s_phase"), zero.alias("s_parent"), zero.alias("s_subpage"),
+        zero.alias("s_idx"), F.lit("text").alias("kind"),
+        F.col("text"), F.lit("").alias("media_ref"),
+    )
+
     # --- root comments (comment pages), W4 truncation -----------------------
     roots = (
         successes.filter(F.col("kind") == "comment_page")
@@ -142,7 +170,7 @@ def extract_span_rows(
     )
 
     out = title
-    for part in (body, images, video, roots, subs):
+    for part in (body, images, video, p_title, p_body, roots, subs):
         out = out.unionByName(part)
     return out.select(*SPAN_ROW_COLS)
 

@@ -227,6 +227,37 @@ def emit_successors(
         *[v.alias(k) for k, v in b.items()],
     )
 
+    # --- listing (creator posts) → detail rows + next listing page ----------
+    listing = successes.filter(F.col("kind") == "listing")
+    l_items = listing.select(
+        F.col("host"), F.col("platform"), F.explode(F.col("items")).alias("it")
+    ).filter(F.col("it.model_type") == "note")
+    l_details = l_items.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
+        F.col("platform"),
+        F.lit("detail").alias("kind"),
+        F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("it.id").alias("parent_id"),
+        F.lit("").alias("cursor"),
+        *[v.alias(k) for k, v in b.items()],
+    )
+    next_listing = listing.filter(
+        F.col("has_more") & (F.col("seq") < max_pages_per_chain)
+    ).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/user/"),
+            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        *[v.alias(k) for k, v in b.items()],
+    )
+
     # --- sub-comment page → next sub page -----------------------------------
     spages = successes.filter(F.col("kind") == "sub_comment_page")
     next_sub_page = spages.filter(F.col("has_more") & (F.col("seq") < max_pages_per_chain)).select(
@@ -249,7 +280,8 @@ def emit_successors(
     )
 
     out = None
-    for part in (details, next_search, first_comment_page, sub_pages, next_comment_page, next_sub_page):
+    for part in (details, next_search, first_comment_page, sub_pages,
+                 next_comment_page, next_sub_page, l_details, next_listing):
         part = _finish(part)
         out = part if out is None else out.unionByName(part)
     return out

