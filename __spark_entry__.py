@@ -254,6 +254,47 @@ def q_r2_backoff_schedule(spark, sf):
     )
 
 
+def q_p2_explode_filter(spark, sf):
+    """P2: Weibo card_group explode-then-filter (weibo/help.py:20-36) —
+    collect per-user event arrays, explode, keep card_type==9 analog."""
+    e = _t(spark, sf, "events")
+    nested = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "event_type"))).alias("cards")
+    )
+    return (
+        nested.select("user_id", F.explode("cards").alias("c"))
+        .filter(F.col("c.event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+        .orderBy("user_id")
+    )
+
+
+def q_f2_html_strip(spark, sf):
+    """F2: HTML→text strip (tools/crawler_util.py:187-196) — wrap the doc
+    text in markup, strip it back, report the recovered length."""
+    from mediacrawler_spark.functions.scalars import html_to_text
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><script>var x=1;</script><p>"),
+        F.col("text"),
+        F.lit("</p><style>.a{}</style></html>"),
+    )
+    return d.select(
+        "doc_id", F.length(html_to_text(html)).cast("bigint").alias("stripped_len")
+    ).orderBy("doc_id")
+
+
+def q_setop_union(spark, sf):
+    """§2.8: unionByName of result streams (sub-comments appended to root
+    list, xhs/client.py:362-369) — distinct users from two event types."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.unionByName(purchases).distinct().orderBy("user_id")
+
+
 def q_sessionize(spark, sf):
     """Sessionization (streaming-adjacent batch op): 30-min gap rule."""
     e = _t(spark, sf, "events")
@@ -418,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_filter_sort_dedup": q_p8_filter_sort_dedup,
         "s8_prefix_gate": q_s8_prefix_gate,
         "r2_backoff_schedule": q_r2_backoff_schedule,
+        "p2_explode_filter": q_p2_explode_filter,
+        "f2_html_strip": q_f2_html_strip,
+        "setop_union": q_setop_union,
         "sessionize": q_sessionize,
         "window_5min": q_window_5min,
         "dedup_exact_count": q_dedup_exact_count,
@@ -530,6 +574,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT attempt, CAST(least(pow(2.0, attempt), 8.0) AS BIGINT) AS backoff_epochs
             FROM (SELECT DISTINCT CAST(event_id % 5 AS INT) AS attempt FROM events)
             ORDER BY attempt
+        """,
+        "p2_explode_filter": """
+            SELECT user_id, count(*) AS n_clicks FROM events
+            WHERE event_type = 'click'
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "f2_html_strip": r"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS stripped_len
+            FROM documents ORDER BY doc_id
+        """,
+        "setop_union": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         "sessionize": """
             SELECT user_id, max(sess) AS n_sessions FROM (
