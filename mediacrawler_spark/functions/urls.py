@@ -77,10 +77,25 @@ def _canonicalize_one(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Already-canonical URLs skip the slow parse: lowercase scheme://host,
+# no port, no fragment, no doubled slash, no trailing slash, and at most
+# one non-tracking query param (a single param is trivially sorted;
+# 'cursor' covers the engine's own pagination successors). In steady
+# state nearly every URL the engine itself emits hits this path; only
+# external/seeded URLs pay full parsing.
+_FAST_PATH = r"^https?://[a-z0-9.\-]+(/[^/?#]+)+(\?cursor=[A-Za-z0-9_.\-]*)?$"
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_urls(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalizer (Arrow batch in/out)."""
-    return urls.map(_canonicalize_one, na_action="ignore").fillna("")
+    urls = urls.fillna("")
+    fast = urls.str.match(_FAST_PATH)
+    out = urls.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(_canonicalize_one)
+    return out
 
 
 def host_of(url: Column) -> Column:

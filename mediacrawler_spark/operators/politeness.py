@@ -83,6 +83,10 @@ def select_fetch_set(
     ``host_rank`` (the deterministic per-host order — the value the
     crawl-ordering oracle checks). ``deferred`` re-enters the frontier.
     """
+    # The selection windows run on a NARROW projection — (url_hash, host,
+    # priority, seq) is ~30 bytes/row vs ~150+ for a full frontier row, so
+    # both shuffles move 5× less data. Winners (budget-bounded, small by
+    # construction) are broadcast back to pick up their full rows.
     due = frontier.filter(F.col("not_before_epoch") <= F.lit(epoch))
     held = frontier.filter(F.col("not_before_epoch") > F.lit(epoch))
 
@@ -91,49 +95,53 @@ def select_fetch_set(
         F.col("budget_per_epoch"),
         F.col("quarantined_until"),
     )
-    with_budget = due.join(
-        F.broadcast(pol), due["host"] == F.col("_p_host"), "left"
+    narrow = due.select("url_hash", "host", "priority", "seq")
+    with_budget = narrow.join(
+        F.broadcast(pol), narrow["host"] == F.col("_p_host"), "left"
     ).select(
-        due["*"],
+        narrow["*"],
         F.coalesce(F.col("budget_per_epoch"), F.lit(default_budget)).alias("_budget"),
         F.coalesce(F.col("quarantined_until"), F.lit(0)).alias("_quar"),
     )
-    quarantined = with_budget.filter(F.col("_quar") > F.lit(epoch))
     eligible = with_budget.filter(F.col("_quar") <= F.lit(epoch))
 
     order = [F.col(c).asc() for c in ORDER_COLS]
 
     # phase 1: per-salt local prune (bounds hot-host fan-in to S×budget).
-    # The window's partitionBy does the (host, salt) shuffle itself — no
-    # explicit repartition needed. The shared `ranked_local` subtree lets
-    # Spark reuse the exchange between the two filter branches.
+    # The window's partitionBy does the (host, salt) shuffle itself.
     salted = eligible.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(salt_splits))
     )
     w_local = W.partitionBy("host", "_salt").orderBy(*order)
-    ranked_local = salted.withColumn("_lrk", F.row_number().over(w_local))
-    pruned = ranked_local.filter(F.col("_lrk") <= F.col("_budget"))
-    pruned_out = ranked_local.filter(F.col("_lrk") > F.col("_budget")).drop(
-        "_salt", "_lrk", "_budget", "_quar"
+    pruned = (
+        salted.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= F.col("_budget"))
     )
 
     # phase 2: exact per-host rank over ≤ S×budget survivors
     w_host = W.partitionBy("host").orderBy(*order)
-    ranked = pruned.withColumn("host_rank", F.row_number().over(w_host))
-    selected = (
-        ranked.filter(F.col("host_rank") <= F.col("_budget"))
-        .withColumn(
-            "salted_host",
-            F.concat_ws("#", F.col("host"), F.col("_salt").cast("string")),
+    winner_keys = (
+        pruned.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= F.col("_budget"))
+        .select(
+            F.col("url_hash").alias("_w_hash"),
+            F.col("host_rank"),
+            F.concat_ws("#", F.col("host"), F.col("_salt").cast("string")).alias(
+                "salted_host"
+            ),
         )
-        .drop("_salt", "_lrk", "_budget", "_quar")
     )
-    over_budget = ranked.filter(F.col("host_rank") > F.col("_budget")).drop(
-        "_salt", "_lrk", "_budget", "_quar", "host_rank"
-    )
-    deferred = (
-        held.unionByName(quarantined.drop("_budget", "_quar"))
-        .unionByName(over_budget)
-        .unionByName(pruned_out)
+
+    # rejoin: broadcast the small winner set; the big frontier never
+    # reshuffles (url_hash is unique per frontier row by construction)
+    selected = due.join(
+        F.broadcast(winner_keys), due["url_hash"] == F.col("_w_hash"), "inner"
+    ).drop("_w_hash")
+    deferred = held.unionByName(
+        due.join(
+            F.broadcast(winner_keys.select("_w_hash")),
+            due["url_hash"] == F.col("_w_hash"),
+            "left_anti",
+        )
     )
     return selected, deferred

@@ -281,6 +281,11 @@ class CrawlEngine:
             self.catalog.stage_append(lineage_e, "lineage", epoch)
             self.catalog.commit(epoch)
 
+            if epoch % 8 == 7:
+                # Iceberg expire_snapshots analog: drop replace-table
+                # versions older than the previous commit (risk §7.4.5)
+                self.catalog.expire_versions(keep_last=2)
+
             # re-read state: bounds DAG depth across epochs
             frontier = self._frontier()
             seen = self._seen()

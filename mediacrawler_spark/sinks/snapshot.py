@@ -128,6 +128,28 @@ class SnapshotCatalog:
     def has(self, table: str) -> bool:
         return table in self._versions or bool(self._appends.get(table))
 
+    def expire_versions(self, keep_last: int = 2) -> int:
+        """Snapshot expiry (SURVEY §7.4 risk 5: state growth across
+        epochs). Replace-style tables rewrite fully each epoch; old
+        version dirs are dead weight once a newer commit exists — the
+        Iceberg expire_snapshots analog. Append tables are history and
+        are never expired here. Returns the number of dirs removed."""
+        import shutil
+
+        removed = 0
+        for table, current in self._versions.items():
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if not entry.startswith("v="):
+                    continue
+                v = int(entry.split("=", 1)[1])
+                if v <= current - keep_last:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                    removed += 1
+        return removed
+
 
 def merge_upsert(existing: DataFrame | None, updates: DataFrame, key: str) -> DataFrame:
     """MERGE INTO emulation: rows of ``updates`` win on key collision;

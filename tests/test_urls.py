@@ -61,6 +61,37 @@ def test_xxhash64_parity_with_spark(spark):
         assert rows[v] == spark_xxhash64_str(v), v
 
 
+def test_fast_path_is_noop_subset_of_slow_path(spark):
+    """Every URL the fast-path regex accepts must be a fixed point of the
+    full canonicalizer — otherwise fast/slow would diverge on hashes."""
+    import re
+
+    from mediacrawler_spark.functions.urls import _FAST_PATH
+
+    urls = [
+        "https://h0.example.test/note/abc",
+        "https://h0.example.test/comments/abc?cursor=0",
+        "https://h.t/subcomments/n/c?cursor=no_more",
+        "http://x.y/a/b/c",
+        # near-misses that must NOT match the fast path:
+        "https://h.t",  # no path (slow adds '/')
+        "https://H.t/a",  # uppercase host
+        "https://h.t/a/",  # trailing slash
+        "https://h.t//a",  # doubled slash
+        "https://h.t/a?b=1&c=2",  # two params
+        "https://h.t/a?utm_source=x",  # tracking param
+        "https://h.t:443/a",  # default port
+        "https://h.t/a#frag",  # fragment
+    ]
+    pat = re.compile(_FAST_PATH)
+    for u in urls:
+        if pat.match(u):
+            assert canonicalize_one(u) == u, f"fast path not a fixed point: {u}"
+    # the first four are intended fast-path members
+    assert all(pat.match(u) for u in urls[:4])
+    assert not any(pat.match(u) for u in urls[4:])
+
+
 def test_host_of(spark):
     df = spark.createDataFrame(
         [("https://H0.Example.TEST/note/1",), ("https://a.b/x?q=1",)], "url string"
