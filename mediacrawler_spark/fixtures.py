@@ -73,6 +73,8 @@ class UniverseParams:
     n_creators: int = 3
     search_pages_per_keyword: int = 2
     max_comments_per_note: int = 25  # engine budget; truncation case derives from it
+    budget_hot: int = 20  # per-epoch politeness budget of the hot host
+    budget_warm: int = 8
     seed: int = 42
     # fraction knobs are realized deterministically via mix64, not sampled
     platforms: tuple[str, ...] = ("xhs", "wb", "bili", "dy", "ks", "tieba", "zhihu")
@@ -482,7 +484,7 @@ def build_universe(p: UniverseParams | None = None) -> Universe:
     politeness_rows = [
         {
             "host": h,
-            "budget_per_epoch": 20 if h == HOT_HOST else 8,
+            "budget_per_epoch": p.budget_hot if h == HOT_HOST else p.budget_warm,
             "quarantined_until": 0,
         }
         for h in all_hosts
