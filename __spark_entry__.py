@@ -76,13 +76,14 @@ def q_p3_semi_join_prune(spark, sf):
 
 
 def q_j1_anti_join_dedup(spark, sf):
-    """J1: URL-seen anti-join shape (store/xhs/xhs_store_impl.py:127-133)."""
-    c = _t(spark, sf, "customer")
+    """J1: URL-seen anti-join shape (store/xhs/xhs_store_impl.py:127-133)
+    — orders with no bulk lineitem ('seen' analog is the filtered set)."""
     o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
     return (
-        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
     )
 
 
@@ -232,7 +233,7 @@ def q_s8_prefix_gate(spark, sf):
     """S8/J5: robots path-prefix gate shape — prefix filter + count."""
     p = _t(spark, sf, "part")
     return (
-        p.filter(F.col("p_type").startswith("a"))
+        p.filter(F.col("p_type").startswith("S"))
         .groupBy("p_brand")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("p_brand")
@@ -489,9 +490,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "j1_anti_join_dedup": """
-            SELECT c_custkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-            ORDER BY c_custkey
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            ORDER BY o_orderkey
         """,
         "j2_broadcast_dim_join": """
             SELECT n_name,
@@ -567,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s8_prefix_gate": """
             SELECT p_brand, count(*) AS n FROM part
-            WHERE p_type LIKE 'a%'
+            WHERE p_type LIKE 'S%'
             GROUP BY p_brand ORDER BY p_brand
         """,
         "r2_backoff_schedule": """

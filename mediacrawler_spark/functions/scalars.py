@@ -106,3 +106,52 @@ def normalize_json_text(col: Column) -> Column:
     """':undefined' → ':null' before from_json (reference:
     media_platform/xhs/client.py:449)."""
     return F.regexp_replace(col, r":\s*undefined", ":null")
+
+
+def wbi_sign(params: Column, salt: Column) -> Column:
+    """F8: Bilibili-style WBI signature — md5 over the sorted urlencoded
+    param map + salt (reference: media_platform/bilibili/help.py:46-66).
+    ``params`` is a map<string,string>; sorting is by key (map_entries of
+    a sorted-key rebuild) so the signature is deterministic."""
+    entries = F.map_entries(params)
+    sorted_entries = F.sort_array(entries)  # struct(key,value) sorts by key
+    qs = F.concat_ws(
+        "&",
+        F.transform(sorted_entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+    )
+    return F.md5(F.encode(F.concat(qs, salt), "utf-8"))
+
+
+def trace_id(*cols: Column) -> Column:
+    """F13: deterministic trace/web id — the reference uses random hex
+    (media_platform/douyin/help.py:25-44, xhs/help.py:52-58); replay
+    determinism requires deriving it from the request identity instead."""
+    return F.sha2(F.concat_ws("|", *cols), 256).substr(1, 32)
+
+
+def cdn_image_url(trace: Column, cdns: list[str], suffix: str = "?imageView2/2/w/1080") -> Column:
+    """F16: image CDN url synthesis from a trace id
+    (media_platform/xhs/help.py:274-292). The reference picks a CDN host
+    with random.choice; here the choice hashes off the trace id —
+    deterministic, uniformly spread."""
+    pick = F.pmod(F.xxhash64(trace), F.lit(len(cdns)))
+    url = F.element_at(F.array(*[F.lit(c) for c in cdns]), (pick + 1).cast("int"))
+    return F.concat(url, F.lit("/"), trace, F.lit(suffix))
+
+
+def unpack_interactions(col: Column, key: str) -> Column:
+    """A4: creator interactions unpack — pick follows/fans/interaction
+    from a list of {type, count} structs by type
+    (reference: store/xhs/__init__.py:177-186)."""
+    m = F.map_from_entries(
+        F.transform(col, lambda e: F.struct(e["type"].alias("k"), e["count"].alias("v")))
+    )
+    return F.element_at(m, F.lit(key))
+
+
+def comma_join_refs(col: Column, field: str | None = None) -> Column:
+    """P5: the reference flattens nested lists into comma-joined strings at
+    the sink (image_list ','.join — store/xhs/__init__.py:105-106). For an
+    array<string> pass field=None; for array<struct> name the field."""
+    vals = col if field is None else F.transform(col, lambda x: x[field])
+    return F.concat_ws(",", vals)
