@@ -49,11 +49,25 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     levels = sorted({c for pair in PAIRS for c in pair})
-    results = {}
+    # The sandbox VM has noisy-neighbor windows with up to 3× swings, so
+    # samples are INTERLEAVED across levels and the best per level is
+    # kept — the least-biased estimate of true capability under
+    # intermittent external load.
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for rnd in range(rounds):
+        for cpus in levels:
+            r = run_at(cpus, n_urls)
+            samples[cpus].append(r)
+            print(f"round {rnd} local[{cpus}]: {r['seconds']}s "
+                  f"{r['urls_per_sec']}/s", file=sys.stderr)
+    results = {
+        c: min(rs, key=lambda r: r["seconds"]) for c, rs in samples.items()
+    }
     for cpus in levels:
-        results[cpus] = run_at(cpus, n_urls)
-        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        all_s = [r["seconds"] for r in samples[cpus]]
+        print(f"local[{cpus}]: best {results[cpus]['seconds']}s of {all_s}", file=sys.stderr)
 
     rows = "\n".join(
         f"| local[{c}] | {n_urls} | {results[c]['seconds']} | {results[c]['urls_per_sec']:,.0f} |"
@@ -78,8 +92,10 @@ executors. Sandbox evidence (per driver instruction): the same frontier
 admit+select job (canonicalize -> xxhash64 -> intra-batch dedup -> bloom
 build/probe -> exact anti-join -> two-phase salted politeness top-k) on the
 same deterministic synthetic seed list (hot host ~50% of URLs), run at two
-local-core counts in separate JVMs, full-pipeline JIT warmup, best of 2
-measured iterations.
+local-core counts in separate JVMs. Noise discipline (the sandbox VM shows
+3x noisy-neighbor swings): full-pipeline JIT warmup + best-of-2 inside
+each JVM, samples interleaved across levels over {rounds} rounds, best
+sample per level kept.
 
 | parallelism | URLs | seconds | URLs scheduled+deduped /sec |
 |---|---|---|---|

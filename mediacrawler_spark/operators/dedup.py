@@ -183,8 +183,15 @@ def dedup_within_batch(candidates: DataFrame) -> DataFrame:
     lead = ["priority", "seq", "url"]
     rest = [c for c in candidates.columns if c not in lead]
     packed = F.struct(*[F.col(c) for c in lead], *[F.col(c) for c in rest])
+    # project the GROUP KEY itself (not r.url_hash): keeps Catalyst's
+    # partitioning knowledge alive so the downstream anti-join on url_hash
+    # reuses this exchange instead of re-shuffling the whole admitted set
     return (
         candidates.groupBy("url_hash")
         .agg(F.min(packed).alias("r"))
-        .select(*[F.col(f"r.{c}").alias(c) for c in candidates.columns])
+        .select(
+            "url_hash",
+            *[F.col(f"r.{c}").alias(c) for c in candidates.columns if c != "url_hash"],
+        )
+        .select(*candidates.columns)
     )

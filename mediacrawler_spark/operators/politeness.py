@@ -43,31 +43,37 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, epoch_ts: int) -> DataF
     """Drop rows a robots rule denies (SURVEY S8/J5).
 
     Longest-matching ``path_prefix`` wins (the robots.txt convention);
-    hosts without any live rule default to allow. The rules table is tiny
-    (one row per host×prefix) → broadcast join; expired rules
-    (``expires_at`` ≤ now) are ignored, mirroring the reference's TTL cache
-    contract (cache/local_cache.py:47-72).
+    hosts without any live rule default to allow. Expired rules
+    (``expires_at`` ≤ now) are ignored, mirroring the reference's TTL
+    cache contract (cache/local_cache.py:47-72).
+
+    Shape: rules are pre-aggregated to ONE row per host (prefixes sorted
+    longest-first) and broadcast, so the gate is a broadcast equi-join +
+    an array expression — zero shuffles on the frontier side, one row in /
+    one row out (an earlier window-based version could nondeterministically
+    collapse duplicate candidates before dedup picked its winner).
     """
-    live = robots.filter(F.col("expires_at") > F.lit(epoch_ts)).select(
-        F.col("host").alias("_r_host"),
-        F.col("path_prefix"),
-        F.col("allow"),
+    live = robots.filter(F.col("expires_at") > F.lit(epoch_ts))
+    rules_by_host = live.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.length("path_prefix").alias("len"),
+                    F.col("path_prefix").alias("prefix"),
+                    F.col("allow").alias("allow"),
+                )
+            ),
+            asc=False,  # longest prefix first → first match wins
+        ).alias("_rules")
     )
-    joined = frontier.join(
-        F.broadcast(live),
-        (frontier["host"] == F.col("_r_host"))
-        & F.startswith(url_path(frontier["url"]), F.col("path_prefix")),
-        "left",
+    joined = frontier.join(F.broadcast(rules_by_host), on="host", how="left")
+    path = url_path(F.col("url"))
+    first_match = F.try_element_at(
+        F.filter(F.col("_rules"), lambda r: F.startswith(path, r["prefix"])),
+        F.lit(1),
     )
-    # longest matching prefix per frontier row decides
-    w = W.partitionBy("url_hash").orderBy(F.length("path_prefix").desc())
-    decided = (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .filter(F.col("allow").isNull() | F.col("allow"))
-        .drop("_r_host", "path_prefix", "allow", "_rk")
-    )
-    return decided
+    allow = F.coalesce(first_match["allow"], F.lit(True))
+    return joined.filter(allow).drop("_rules")
 
 
 def select_fetch_set(
