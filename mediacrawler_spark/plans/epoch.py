@@ -177,7 +177,10 @@ class CrawlEngine:
                 .withColumn("host", host_of(F.col("url")))
             )
             gated = apply_robots(candidates, self.robots, cfg.epoch_ts)
-            unique_batch = dedup_within_batch(gated)
+            # persist: the admission chain (canonicalize UDF → robots →
+            # dedup shuffle) is consumed by the count, the bloom probe,
+            # and the anti-join — without it the chain would execute 3×
+            unique_batch = dedup_within_batch(gated).persist()
             n_batch = unique_batch.count()
             params = BloomParams.size(
                 max(1024, n_batch * 4), cfg.bloom_fpp, cfg.bloom_shards
@@ -191,11 +194,13 @@ class CrawlEngine:
                 )
                 .select(*FRONTIER_COLS)
             )
+            self.catalog.stage_append(admitted, "admitted", epoch)
+            unique_batch.unpersist()
+            admitted = self.catalog.read_staged("admitted", epoch)
+            # seen delta derives from the already-materialized parquet
             self.catalog.stage_append(
                 admitted.select("url_hash", "url"), "seen", epoch
             )
-            self.catalog.stage_append(admitted, "admitted", epoch)
-            admitted = self.catalog.read_staged("admitted", epoch)
             n_admitted = admitted.count()
             n_dedup = n_batch - n_admitted
             frontier = frontier.unionByName(admitted)
