@@ -29,7 +29,7 @@ def main() -> None:
     n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", "2000000"))
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 
-    from mediacrawler_spark.bench_workloads import frontier_bench
+    from mediacrawler_spark.bench_workloads import assembly_bench, frontier_bench
     from mediacrawler_spark.session import get_spark
 
     spark = get_spark(app_name="mediacrawler_spark_bench", cpus=cpus)
@@ -37,6 +37,10 @@ def main() -> None:
     fr = frontier_bench(spark, n_urls=n_urls)
 
     queries: dict[str, float] = {"frontier_admit_select": fr["seconds"]}
+    asm = None
+    if not skip_queries:
+        asm = assembly_bench(spark)
+        queries["doc_assembly_3m_spans"] = asm["seconds"]
     if not skip_queries:
         import __spark_entry__ as entry_mod
 
@@ -76,6 +80,8 @@ def main() -> None:
         "frontier": fr,
         "cpus": cpus,
     }
+    if asm is not None:
+        out["doc_assembly"] = asm
     print(json.dumps(out))
     spark.stop()
 

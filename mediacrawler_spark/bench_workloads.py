@@ -75,6 +75,35 @@ def synthetic_seen(spark: SparkSession, seeds_hashed: DataFrame, frac: float = 0
     )
 
 
+def assembly_bench(spark: SparkSession, n_docs: int = 100_000, spans_per_doc: int = 30) -> dict:
+    """Span-row → documents assembly throughput (the per-row-invariant
+    operator): one hash agg + per-row array sort, generated Spark-side."""
+    n = n_docs * spans_per_doc
+    rows = spark.range(n).select(
+        F.concat(F.lit("xhs:note:"), (F.col("id") % n_docs).cast("string")).alias("doc_id"),
+        F.lit(4).alias("s_sec"),
+        (F.col("id") % 7).cast("long").alias("s_page"),
+        F.lit(0).alias("s_phase"),
+        (F.col("id") % 70).cast("long").alias("s_parent"),
+        F.lit(0).cast("long").alias("s_subpage"),
+        (F.col("id") % 10).cast("long").alias("s_idx"),
+        F.lit("comment").alias("kind"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+    from mediacrawler_spark.operators.extract import assemble_documents
+
+    t0 = time.perf_counter()
+    n_out = assemble_documents(rows).count()
+    dt = time.perf_counter() - t0
+    return {
+        "span_rows": n,
+        "docs": n_out,
+        "seconds": round(dt, 3),
+        "spans_per_sec": round(n / dt, 1),
+    }
+
+
 def frontier_bench(
     spark: SparkSession,
     n_urls: int = 2_000_000,
