@@ -128,6 +128,30 @@ class SnapshotCatalog:
     def has(self, table: str) -> bool:
         return table in self._versions or bool(self._appends.get(table))
 
+    def fsck(self) -> list[str]:
+        """Consistency check of the committed snapshot state: every pinned
+        version/append dir must exist and be readable; lineage fetch
+        totals must equal the fetch_log row count. Returns problems
+        (empty list = healthy); cheap enough to run on resume."""
+        problems: list[str] = []
+        for table, v in self._versions.items():
+            p = self._path(table, v)
+            if not os.path.isdir(p):
+                problems.append(f"missing version dir: {p}")
+        for table, epochs in self._appends.items():
+            for e in epochs:
+                p = os.path.join(self.root, table, f"e={e}")
+                if not os.path.isdir(p):
+                    problems.append(f"missing append dir: {p}")
+        if not problems and self.has("lineage") and self.has("fetch_log"):
+            from pyspark.sql import functions as F
+
+            lin = self.read("lineage").agg(F.sum("fetch_count").alias("s")).collect()[0]["s"]
+            logn = self.read("fetch_log").count()
+            if (lin or 0) != logn:
+                problems.append(f"lineage fetch_count {lin} != fetch_log rows {logn}")
+        return problems
+
     def expire_versions(self, keep_last: int = 2) -> int:
         """Snapshot expiry (SURVEY §7.4 risk 5: state growth across
         epochs). Replace-style tables rewrite fully each epoch; old

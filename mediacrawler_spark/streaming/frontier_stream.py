@@ -41,6 +41,44 @@ def streaming_dedup(candidates: DataFrame, ts_col: str = "ts", watermark: str = 
     )
 
 
+def streaming_budget_limiter(
+    candidates: DataFrame, budget_per_host: int = 5
+) -> DataFrame:
+    """Custom stateful operator: per-host cumulative fetch budget across
+    the whole stream — the politeness cap as ``applyInPandasWithState``.
+    State = rows already admitted for the host; rows beyond the budget are
+    dropped. (The reference's semaphore+sleep envelope, stream-shaped.)
+    """
+    import pandas as pd
+
+    def limit(key, pdfs, state):
+        (host,) = key
+        used = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "seq", "url_hash"], kind="mergesort")
+            room = budget_per_host - used
+            if room > 0:
+                take = pdf.head(room)
+                used += len(take)
+                out.append(take[["host", "url", "url_hash", "priority", "seq"]])
+        state.update((used,))
+        if out:
+            yield pd.concat(out)
+
+    return (
+        candidates.select("host", "url", "url_hash", "priority", "seq")
+        .groupBy("host")
+        .applyInPandasWithState(
+            limit,
+            outputStructType="host string, url string, url_hash long, priority int, seq long",
+            stateStructType="used int",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def streaming_host_rate(candidates: DataFrame, ts_col: str = "ts",
                         window: str = "1 minute") -> DataFrame:
     """Per-host fetch-rate accounting — the politeness budget's streaming
