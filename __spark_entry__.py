@@ -497,7 +497,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j2_broadcast_dim_join": """
             SELECT n_name,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -529,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f7_count_parse": r"""
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS k_sum
+                   CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "f10_hour_histogram": """
@@ -544,8 +544,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f14_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
-                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "a1_wordcount_top20": """
@@ -594,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "sessionize": """
-            SELECT user_id, max(sess) AS n_sessions FROM (
+            SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions FROM (
                 SELECT user_id,
                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess

@@ -57,6 +57,28 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     want_n = _rows_to_set(want_cols, want)
     assert got_n == want_n, f"{name}: values differ, e.g. {got_n[:2]} vs {want_n[:2]}"
 
+    # Type-rendering parity: the driver hashes pandas-rendered values, so a
+    # DuckDB HUGEINT (sum of BIGINT) surfacing as float64 vs Spark's int64
+    # is a hash mismatch even when the Python values compare equal
+    # (VERDICT r01: j2/f7/f14/sessionize). Compare dtype *kinds*.
+    want_pd = duck.execute(sql).df()
+    spark_kind = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            spark_kind[f.name] = "i"
+        elif t in ("double", "float") or t.startswith("decimal"):
+            spark_kind[f.name] = "f"
+        else:
+            spark_kind[f.name] = "O"
+    for c in want_pd.columns:
+        k = want_pd[c].dtype.kind
+        duck_kind = "i" if k in "iu" else ("f" if k == "f" else "O")
+        assert duck_kind == spark_kind[c], (
+            f"{name}.{c}: oracle renders as {want_pd[c].dtype} but Spark type "
+            f"kind is {spark_kind[c]!r} — driver hash would mismatch"
+        )
+
 
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
