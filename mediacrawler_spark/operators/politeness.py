@@ -76,6 +76,31 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, epoch_ts: int) -> DataF
     return joined.filter(allow).drop("_rules")
 
 
+def merge_quarantine(politeness: DataFrame, quarantine: DataFrame) -> DataFrame:
+    """Merge the static politeness table with dynamic quarantine (R3/J6).
+
+    Must be a FULL OUTER join: a 471/461 outcome can quarantine a host
+    that has no politeness row (the engine still fetches such hosts via
+    ``default_budget``), and the oracle's quarantine dict is keyed by any
+    host (oracle.py:174). A left join from politeness would silently drop
+    the quarantine and the engine would keep fetching a blocked host.
+    Quarantine-only hosts get a NULL ``budget_per_epoch`` so
+    ``select_fetch_set`` falls through to ``default_budget``.
+    """
+    return (
+        politeness.alias("p")
+        .join(quarantine.alias("q"), on="host", how="full_outer")
+        .select(
+            F.col("host"),
+            F.col("p.budget_per_epoch").alias("budget_per_epoch"),
+            F.greatest(
+                F.coalesce(F.col("p.quarantined_until"), F.lit(0)),
+                F.coalesce(F.col("q.quarantined_until"), F.lit(0)),
+            ).alias("quarantined_until"),
+        )
+    )
+
+
 def select_fetch_set(
     frontier: DataFrame,
     politeness: DataFrame,

@@ -46,7 +46,11 @@ from mediacrawler_spark.operators.frontier import (
     seeds_to_candidates,
 )
 from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
-from mediacrawler_spark.operators.politeness import apply_robots, select_fetch_set
+from mediacrawler_spark.operators.politeness import (
+    apply_robots,
+    merge_quarantine,
+    select_fetch_set,
+)
 from mediacrawler_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
 from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
 from mediacrawler_spark.sources.fetch import fetch_via_corpus
@@ -206,18 +210,9 @@ class CrawlEngine:
             frontier = frontier.unionByName(admitted)
 
             # 2. selection: politeness budgets + dynamic quarantine
-            pol = (
-                self.politeness.alias("p")
-                .join(quarantine.alias("q"), on="host", how="left")
-                .select(
-                    F.col("host"),
-                    F.col("p.budget_per_epoch"),
-                    F.greatest(
-                        F.col("p.quarantined_until"),
-                        F.coalesce(F.col("q.quarantined_until"), F.lit(0)),
-                    ).alias("quarantined_until"),
-                )
-            )
+            # (full-outer merge — quarantine must survive for hosts that
+            # have no politeness row; see merge_quarantine docstring)
+            pol = merge_quarantine(self.politeness, quarantine)
             selected, _ = select_fetch_set(
                 frontier, pol, epoch, cfg.default_budget, cfg.salt_splits
             )

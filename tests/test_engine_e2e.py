@@ -136,6 +136,91 @@ def test_resume_equivalence(spark, udfs, universe, tmp_path):
     assert got_docs == oracle.documents
 
 
+def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
+    """Regression (ADVICE r01, medium): a 471 on a host absent from the
+    politeness table must still quarantine that host. The left-join pol
+    build dropped such quarantine rows, so the engine kept fetching while
+    the oracle deferred — breaking fetch-order/seen equality."""
+    from mediacrawler_spark.fixtures import UniverseParams, build_universe
+    from mediacrawler_spark.schemas import (
+        PAGES_SCHEMA,
+        POLITENESS_SCHEMA,
+        ROBOTS_SCHEMA,
+        SEEDS_SCHEMA,
+    )
+
+    # n_notes > 101 so the i%101==100 blocked-471 page exists
+    u = build_universe(
+        UniverseParams(
+            n_notes=102, n_hosts=6, n_keywords=2,
+            search_pages_per_keyword=1, max_comments_per_note=10,
+        )
+    )
+    blocked_urls = list(u.pages[u.pages["status"] == 471]["url"])
+    blocked_hosts = {url.split("/")[2] for url in blocked_urls}
+    assert blocked_hosts, "fixture must contain a 471 page"
+    pol_pruned = u.politeness[~u.politeness["host"].isin(blocked_hosts)]
+    assert len(pol_pruned) < len(u.politeness)
+    # The 471 note is beyond the 1-page search listings — seed it directly
+    # (S2 specified-URL seed) so the quarantine actually fires.
+    import pandas as pd
+
+    seeds = pd.concat(
+        [
+            u.seeds,
+            pd.DataFrame(
+                [
+                    {"url": url, "platform": "xhs", "kind": "detail",
+                     "keyword": None, "priority": 0, "seq": 0}
+                    for url in blocked_urls
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+
+    cfg = EngineConfig(max_comments_per_note=10, max_epochs=80)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_quar"))
+    eng = CrawlEngine(
+        spark,
+        cat,
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(pol_pruned, POLITENESS_SCHEMA),
+        cfg,
+    )
+    res = eng.run(spark.createDataFrame(seeds, SEEDS_SCHEMA))
+    oracle = CrawlOracle(
+        u.pages, u.robots, pol_pruned,
+        default_budget=cfg.default_budget,
+        comments_per_page=cfg.comments_per_page,
+        max_comments_per_note=cfg.max_comments_per_note,
+        epoch_ts=cfg.epoch_ts,
+    ).run(seeds)
+    # the blocked URL must actually have been fetched (quarantine fired)
+    blocked_fetch_epochs = [
+        ep
+        for fs in oracle.fetch_order.values()
+        for (url, ep, _k) in fs
+        if url in set(blocked_urls)
+    ]
+    assert blocked_fetch_epochs, "471 page must be exercised for this test to bite"
+
+    got_seen = {r["url"] for r in cat.read("seen").collect()}
+    assert got_seen == oracle.seen
+    log = (
+        eng.fetch_log()
+        .orderBy("host", "epoch", "host_rank")
+        .select("host", "url", "epoch", "kind")
+        .collect()
+    )
+    got: dict[str, list] = {}
+    for r in log:
+        got.setdefault(r["host"], []).append((r["url"], r["epoch"], r["kind"]))
+    assert got == oracle.fetch_order
+    assert res.total_fetched == oracle.total_fetched
+
+
 def test_lineage_written(engine_result):
     eng, res = engine_result
     lin = eng.catalog.read("lineage")

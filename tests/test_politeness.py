@@ -2,7 +2,11 @@
 
 from pyspark.sql import functions as F
 
-from mediacrawler_spark.operators.politeness import apply_robots, select_fetch_set
+from mediacrawler_spark.operators.politeness import (
+    apply_robots,
+    merge_quarantine,
+    select_fetch_set,
+)
 from mediacrawler_spark.schemas import FRONTIER_SCHEMA
 
 
@@ -61,6 +65,36 @@ def test_quarantine_defers_whole_host(spark):
     )
     assert [r["host"] for r in sel.collect()] == ["b"]
     assert [r["host"] for r in deferred.collect()] == ["a"]
+
+
+def test_merge_quarantine_keeps_hosts_absent_from_politeness(spark):
+    """Regression (ADVICE r01): a dynamically quarantined host with no
+    politeness row must survive the merge, with a NULL budget so
+    select_fetch_set falls through to default_budget."""
+    pol = _pol(spark, {"a": 5}, quarantined={"a": 2})
+    quar = spark.createDataFrame(
+        [("b", 7), ("a", 9)], "host string, quarantined_until int"
+    )
+    got = {r["host"]: r for r in merge_quarantine(pol, quar).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["budget_per_epoch"] == 5
+    assert got["a"]["quarantined_until"] == 9  # max(static 2, dynamic 9)
+    assert got["b"]["budget_per_epoch"] is None  # → default downstream
+    assert got["b"]["quarantined_until"] == 7
+
+
+def test_quarantine_only_host_deferred(spark):
+    """End shape of the same regression: host 'b' has no politeness row but
+    a live quarantine — it must be deferred, not fetched with defaults."""
+    rows = [("https://a/1", 1, "a", "detail", 0, 0, 0), ("https://b/1", 2, "b", "detail", 0, 0, 0)]
+    fr = _frontier(spark, rows)
+    pol = merge_quarantine(
+        _pol(spark, {"a": 5}),
+        spark.createDataFrame([("b", 3)], "host string, quarantined_until int"),
+    )
+    sel, deferred = select_fetch_set(fr, pol, epoch=1)
+    assert [r["host"] for r in sel.collect()] == ["a"]
+    assert [r["host"] for r in deferred.collect()] == ["b"]
 
 
 def test_selection_deterministic_across_runs(spark):
