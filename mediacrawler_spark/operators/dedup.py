@@ -145,6 +145,138 @@ def bloom_maybe_seen_udf(shards_bc):
     return maybe_seen
 
 
+def build_bloom_table(keys: DataFrame, params: BloomParams) -> DataFrame:
+    """Distributed Bloom build → DataFrame(shard int, bitmap binary).
+
+    Unlike :func:`build_bloom_shards` nothing is collected to the driver —
+    the bitmaps stay distributed so they can be OR-merged and persisted in
+    the snapshot catalog (incremental maintenance) or cogroup-probed
+    (shard-wise, no all-shards broadcast). Empty shards have no row.
+    """
+    m_bits, k, n_shards = params.m_bits, params.k, params.n_shards
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(pdf):
+            _set_bits(bitmap, _positions(pdf["url_hash"].to_numpy(np.int64), k, m_bits))
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [bitmap.tobytes()]}
+        )
+
+    return (
+        keys.select(
+            F.col("url_hash"), F.pmod(F.col("url_hash"), F.lit(n_shards)).alias("shard")
+        )
+        .groupBy("shard")
+        .applyInPandas(build, schema="shard int, bitmap binary")
+    )
+
+
+def or_merge_bloom(old: DataFrame, delta: DataFrame, m_bytes: int) -> DataFrame:
+    """OR two (shard, bitmap) tables — the per-epoch incremental insert.
+
+    Cost is O(n_shards × shard_bytes) regardless of |seen|: at the design
+    point (~12 GB of bitmap) this replaces an O(|seen|)=10^10-key rebuild
+    per epoch with a 12 GB read-OR-write. Cogrouped on shard so each task
+    touches exactly one shard's bitmaps.
+    """
+
+    def merge(key, o: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m_bytes, dtype=np.uint8)
+        for pdf in (o, d):
+            for b in pdf["bitmap"]:
+                bm |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"shard": [int(key[0])], "bitmap": [bm.tobytes()]})
+
+    return (
+        old.groupBy("shard")
+        .cogroup(delta.groupBy("shard"))
+        .applyInPandas(merge, schema="shard int, bitmap binary")
+    )
+
+
+def broadcast_bloom(bloom_table: DataFrame, params: BloomParams):
+    """Collect a (small) bloom table into the broadcast-dict probe format."""
+    shards = {
+        int(r["shard"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in bloom_table.collect()
+    }
+    spark = bloom_table.sparkSession
+    return spark.sparkContext.broadcast(
+        {
+            "shards": shards,
+            "m_bits": params.m_bits,
+            "k": params.k,
+            "n_shards": params.n_shards,
+        }
+    )
+
+
+def probe_bloom_cogroup(
+    candidates: DataFrame, bloom_table: DataFrame, params: BloomParams
+) -> DataFrame:
+    """Shard-wise probe: candidates co-partitioned by pmod(url_hash, n_shards)
+    are cogrouped with the bloom table, so each task receives exactly ONE
+    shard bitmap (vs broadcasting the full 12 GB filter to every executor —
+    VERDICT r01 item 4). Returns candidates + ``_maybe_seen`` boolean.
+    """
+    m_bits, k, n_shards = params.m_bits, params.k, params.n_shards
+    out_cols = list(candidates.columns)
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+
+    def probe(key, cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        res = cand[out_cols].copy() if len(cand) else pd.DataFrame(columns=out_cols)
+        if not len(cand):
+            res["_maybe_seen"] = np.zeros(0, dtype=bool)
+            return res
+        if not len(shard):
+            res["_maybe_seen"] = np.zeros(len(cand), dtype=bool)
+            return res
+        bitmap = np.frombuffer(shard["bitmap"].iloc[0], dtype=np.uint8)
+        h = cand["url_hash"].to_numpy(np.int64)
+        res["_maybe_seen"] = _test_bits(bitmap, _positions(h, k, m_bits))
+        return res
+
+    sharded = candidates.withColumn(
+        "_shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+    return (
+        sharded.groupBy("_shard")
+        .cogroup(bloom_table.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def dedup_against_seen_bloom(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_table: DataFrame,
+    params: BloomParams,
+    broadcast_max_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Exact anti-join dedup with a persisted-bloom prefilter.
+
+    Picks the probe strategy by total bitmap size: a small filter is
+    collected + broadcast (zero shuffle on candidates); a large one is
+    cogroup-probed shard-wise (one candidates shuffle, one shard per task —
+    the only strategy that survives a 12 GB filter on a 1000-executor
+    cluster). Output is identical either way, and exactness never depends
+    on the filter (left_anti confirms every maybe-seen row).
+    """
+    total_bytes = params.n_shards * (params.m_bits // 8)
+    if total_bytes <= broadcast_max_bytes:
+        probe = bloom_maybe_seen_udf(broadcast_bloom(bloom_table, params))
+        probed = candidates.withColumn("_maybe_seen", probe(F.col("url_hash")))
+    else:
+        probed = probe_bloom_cogroup(candidates, bloom_table, params)
+    definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = maybe.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
 def dedup_against_seen(
     candidates: DataFrame,
     seen: DataFrame,

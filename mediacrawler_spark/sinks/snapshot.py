@@ -39,10 +39,12 @@ class SnapshotCatalog:
         self._pending_appends: dict[str, list[int]] = {}
         self._versions: dict[str, int] = {}
         self._appends: dict[str, list[int]] = {}
+        self._meta: dict = {}
         last = self.last_commit()
         if last:
             self._versions = dict(last["tables"])
             self._appends = {k: list(v) for k, v in last.get("appends", {}).items()}
+            self._meta = dict(last.get("meta", {}))
 
     # -- commit log ---------------------------------------------------------
     def last_commit(self) -> dict | None:
@@ -70,8 +72,10 @@ class SnapshotCatalog:
 
     def stage(self, df: DataFrame, table: str) -> None:
         """Write the next full version of ``table`` (not yet visible).
-        For replace-style tables (frontier churn, quarantine)."""
-        v = self._versions.get(table, -1) + 1
+        For replace-style tables (frontier churn, quarantine). Staging the
+        same table twice before a commit writes a second version — never
+        overwrites the first (a lazy plan may still be reading it)."""
+        v = max(self._versions.get(table, -1), self._pending.get(table, -1)) + 1
         df.write.mode("overwrite").parquet(self._path(table, v))
         self._pending[table] = v
 
@@ -84,17 +88,22 @@ class SnapshotCatalog:
         )
         self._pending_appends.setdefault(table, []).append(epoch)
 
-    def commit(self, epoch: int) -> None:
-        """Make all staged versions visible atomically."""
+    def commit(self, epoch: int, meta: dict | None = None) -> None:
+        """Make all staged versions visible atomically. ``meta`` carries
+        small JSON state pinned to the snapshot (e.g. bloom filter sizing +
+        fill count — the Iceberg snapshot-properties analog); it replaces
+        the previous commit's meta wholesale for the keys given."""
         tables = {**self._versions, **self._pending}
         appends = {
             t: sorted(set(self._appends.get(t, []) + self._pending_appends.get(t, [])))
             for t in set(self._appends) | set(self._pending_appends)
         }
+        new_meta = {**self._meta, **(meta or {})}
         rec = {
             "epoch": epoch,
             "tables": tables,
             "appends": appends,
+            "meta": new_meta,
             "committed_at": int(time.time()),
         }
         with open(self._log, "a") as f:
@@ -103,8 +112,13 @@ class SnapshotCatalog:
             os.fsync(f.fileno())
         self._versions = tables
         self._appends = appends
+        self._meta = new_meta
         self._pending = {}
         self._pending_appends = {}
+
+    def meta(self) -> dict:
+        """Snapshot properties of the last commit (empty dict if none)."""
+        return dict(self._meta)
 
     def read_staged_version(self, table: str) -> DataFrame:
         """Read the staged (pending) full version of a replace table."""

@@ -1,13 +1,19 @@
 """Bloom shards + exact anti-join dedup (J1) and intra-batch dedup."""
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.operators.dedup import (
     BloomParams,
     bloom_maybe_seen_udf,
+    broadcast_bloom,
     build_bloom_shards,
+    build_bloom_table,
     dedup_against_seen,
+    dedup_against_seen_bloom,
     dedup_within_batch,
+    or_merge_bloom,
+    probe_bloom_cogroup,
 )
 
 
@@ -63,6 +69,81 @@ def test_dedup_exactness_matches_plain_antijoin(spark):
     )
     want = sorted(set(cand_hashes) - set(seen_hashes))
     assert got == want
+
+
+def _bitmaps(bloom_df):
+    return {
+        int(r["shard"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in bloom_df.collect()
+    }
+
+
+def test_bloom_table_matches_broadcast_build(spark):
+    """The distributed (no-collect) table build produces bit-identical
+    shard bitmaps to the original broadcast build."""
+    hashes = [h * 2_654_435_761 - 3 for h in range(3000)]
+    seen = _seen(spark, hashes)
+    params = BloomParams.size(3000, fpp=0.01, n_shards=8)
+    want = build_bloom_shards(seen, params).value["shards"]
+    got = _bitmaps(build_bloom_table(seen, params))
+    assert set(got) == set(want)
+    for s in got:
+        assert np.array_equal(got[s], want[s])
+
+
+def test_incremental_or_merge_equals_full_build(spark):
+    """Folding per-epoch deltas through or_merge_bloom is bit-identical to
+    one full build over the union — the invariant that makes the O(delta)
+    per-epoch maintenance sound."""
+    params = BloomParams.size(5000, fpp=0.01, n_shards=8)
+    all_hashes = [h * 7_919 + 1 for h in range(5000)]
+    chunks = [all_hashes[i::5] for i in range(5)]
+    acc = build_bloom_table(_seen(spark, chunks[0]), params)
+    for c in chunks[1:]:
+        acc = or_merge_bloom(acc, build_bloom_table(_seen(spark, c), params), params.m_bits // 8)
+    got = _bitmaps(acc)
+    want = _bitmaps(build_bloom_table(_seen(spark, all_hashes), params))
+    assert set(got) == set(want)
+    for s in want:
+        assert np.array_equal(got[s], want[s])
+
+
+def test_cogroup_probe_matches_broadcast_probe(spark):
+    """Shard-wise cogroup probe (scale path: one shard per task, no
+    all-shards broadcast) returns the same _maybe_seen verdicts."""
+    seen_hashes = list(range(0, 3000, 3))
+    cand_hashes = list(range(0, 2000))
+    seen, cands = _seen(spark, seen_hashes), _cands(spark, cand_hashes)
+    params = BloomParams.size(3000, fpp=0.01, n_shards=8)
+    table = build_bloom_table(seen, params)
+    probe = bloom_maybe_seen_udf(broadcast_bloom(table, params))
+    want = {
+        r["url_hash"]: r["m"]
+        for r in cands.select("url_hash", probe(F.col("url_hash")).alias("m")).collect()
+    }
+    got = {
+        r["url_hash"]: r["_maybe_seen"]
+        for r in probe_bloom_cogroup(cands, table, params).collect()
+    }
+    assert got == want
+
+
+def test_dedup_against_seen_bloom_exact_both_paths(spark):
+    """Both probe strategies produce the exact anti-join answer."""
+    seen_hashes = list(range(0, 3000, 3))
+    cand_hashes = list(range(0, 2000))
+    seen, cands = _seen(spark, seen_hashes), _cands(spark, cand_hashes)
+    params = BloomParams.size(3000, fpp=0.01, n_shards=8)
+    table = build_bloom_table(seen, params)
+    want = sorted(set(cand_hashes) - set(seen_hashes))
+    for threshold in (1 << 30, 0):  # broadcast path, then forced cogroup path
+        got = sorted(
+            r["url_hash"]
+            for r in dedup_against_seen_bloom(
+                cands, seen, table, params, broadcast_max_bytes=threshold
+            ).collect()
+        )
+        assert got == want, f"threshold={threshold}"
 
 
 def test_dedup_within_batch_deterministic(spark):
