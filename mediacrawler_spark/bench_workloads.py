@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
 from mediacrawler_spark.operators.dedup import (
     BloomParams,
-    build_bloom_shards,
-    dedup_against_seen,
+    build_bloom_table,
+    dedup_against_seen_bloom,
     dedup_within_batch,
 )
 from mediacrawler_spark.operators.politeness import select_fetch_set
@@ -145,8 +145,8 @@ def frontier_bench(
         unique = dedup_within_batch(cand).persist()
         seen = synthetic_seen(spark, unique).persist()
         params = BloomParams.size(max(1024, n_urls), fpp=0.01, n_shards=bloom_shards)
-        shards = build_bloom_shards(seen, params)
-        admitted = dedup_against_seen(unique, seen, spark, shards_bc=shards).persist()
+        table = build_bloom_table(seen, params)
+        admitted = dedup_against_seen_bloom(unique, seen, table, params).persist()
         selected, _deferred = select_fetch_set(admitted, politeness, epoch=0,
                                                default_budget=budget)
         n_sel = selected.count()

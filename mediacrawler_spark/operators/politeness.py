@@ -107,12 +107,20 @@ def select_fetch_set(
     epoch: int,
     default_budget: int = 8,
     salt_splits: int = 8,
+    winner_broadcast_max_rows: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the due frontier into (selected, deferred) for this epoch.
 
     ``selected`` carries ``salted_host`` (fetch-stage partition key) and
     ``host_rank`` (the deterministic per-host order — the value the
     crawl-ordering oracle checks). ``deferred`` re-enters the frontier.
+
+    The winner set is ≈ (#active hosts × budget) rows. Small sets are
+    broadcast back onto the frontier (no frontier shuffle); past
+    ``winner_broadcast_max_rows`` (millions of hosts — VERDICT r01 item 5)
+    the rejoin falls back to a shuffle hash join on url_hash, with the
+    winner set persisted so the selection windows run once, not once per
+    consumer.
     """
     # The selection windows run on a NARROW projection — (url_hash, host,
     # priority, seq) is ~30 bytes/row vs ~150+ for a full frontier row, so
@@ -163,16 +171,27 @@ def select_fetch_set(
         )
     )
 
-    # rejoin: broadcast the small winner set; the big frontier never
-    # reshuffles (url_hash is unique per frontier row by construction)
-    selected = due.join(
-        F.broadcast(winner_keys), due["url_hash"] == F.col("_w_hash"), "inner"
-    ).drop("_w_hash")
+    # rejoin: persist + count the winner set (budget-bounded by
+    # construction) so the window chain is evaluated exactly once, then
+    # pick the join strategy from the TRUE winner count. The previous
+    # call's cache is dropped here — by then its consumers have run.
+    winner_keys = winner_keys.persist()
+    prev = getattr(select_fetch_set, "_last_winners", None)
+    if prev is not None:
+        prev.unpersist()
+    select_fetch_set._last_winners = winner_keys
+    n_winners = winner_keys.count()
+    if n_winners <= winner_broadcast_max_rows:
+        # broadcast path: the big frontier never reshuffles (url_hash is
+        # unique per frontier row by construction)
+        wk = F.broadcast(winner_keys)
+        wk_anti = F.broadcast(winner_keys.select("_w_hash"))
+    else:
+        # shuffle path: millions of hosts would exceed broadcast limits
+        wk = winner_keys
+        wk_anti = winner_keys.select("_w_hash")
+    selected = due.join(wk, due["url_hash"] == F.col("_w_hash"), "inner").drop("_w_hash")
     deferred = held.unionByName(
-        due.join(
-            F.broadcast(winner_keys.select("_w_hash")),
-            due["url_hash"] == F.col("_w_hash"),
-            "left_anti",
-        )
+        due.join(wk_anti, due["url_hash"] == F.col("_w_hash"), "left_anti")
     )
     return selected, deferred

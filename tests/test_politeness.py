@@ -107,6 +107,30 @@ def test_selection_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_winner_rejoin_shuffle_fallback_same_result(spark):
+    """Above winner_broadcast_max_rows the rejoin must switch to a shuffle
+    join (broadcast of hosts x budget rows dies at millions of hosts) and
+    produce the identical selection."""
+    rows = [
+        (f"https://h{i % 40}/{i}", i * 977 + 13, f"h{i % 40}", "detail", 0, i, 0)
+        for i in range(400)
+    ]
+    fr = _frontier(spark, rows)
+    pol = _pol(spark, {f"h{i}": 3 for i in range(40)})
+    sel_b, def_b = select_fetch_set(fr, pol, epoch=0)  # broadcast path
+    sel_s, def_s = select_fetch_set(fr, pol, epoch=0, winner_broadcast_max_rows=0)
+    got_b = sorted((r["url"], r["host_rank"]) for r in sel_b.collect())
+    got_s = sorted((r["url"], r["host_rank"]) for r in sel_s.collect())
+    assert got_b == got_s and len(got_b) == 40 * 3
+    assert sorted(r["url"] for r in def_b.collect()) == sorted(
+        r["url"] for r in def_s.collect()
+    )
+    # plan check: forcing the fallback removes the winner-set broadcast
+    plan_b = sel_b._jdf.queryExecution().executedPlan().toString()
+    plan_s = sel_s._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count("BroadcastExchange") > plan_s.count("BroadcastExchange")
+
+
 def test_robots_longest_prefix_wins(spark):
     fr = _frontier(
         spark,
