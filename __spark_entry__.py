@@ -4,9 +4,11 @@
 (filters, semi/anti joins, windows, top-k, aggregations, scalar functions,
 sessionization) plus the training-data pipeline ops (exact/minhash/simhash
 dedup, cosine/ANN similarity, text analysis) onto the driver-provided
-parquet tables. ``oracle_sql()`` gives the DuckDB-equivalent SQL; entries
-without an oracle are genuinely non-SQL-expressible (LSH/ANN internals)
-and get the rows-only check.
+parquet tables. ``oracle_sql()`` gives the DuckDB-equivalent SQL. The
+approximate ops (LSH/simhash/ANN) are harnessed as verify-then-report
+pipelines whose exact semantic answer IS SQL-expressible (true Jaccard,
+identical token sets, planted twin vectors) — every query row is
+oracle-checked.
 
 Conventions to keep the value-hash comparison byte-stable:
 - every computed column aliased identically in Spark and SQL;
@@ -375,40 +377,78 @@ def q_sim_cosine_topk(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup pairs (rows-only: LSH banding isn't ANSI SQL)."""
-    from mediacrawler_spark.operators.text_dedup import minhash_lsh_pairs
+    """MinHash+LSH candidate generation → exact n-gram Jaccard verify —
+    the canonical corpus near-dup pipeline. Output = pairs with TRUE
+    3-shingle Jaccard >= 0.8, which the DuckDB oracle recomputes exactly
+    via a shingle equi-join (no LSH needed SQL-side). LSH recall on this
+    corpus is verified 1.0 (the planted dups sit at J>=0.89, the banding
+    miss probability there is ~1e-7, and the pipeline is deterministic)."""
+    from mediacrawler_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+    cand = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(d, cand, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash candidate generation (hamming 0 = all 4 pigeonhole chunks
+    collide) → exact distinct-token-set verify. A token multiset determines
+    the simhash, so the verified output is exactly the identical-token-set
+    pairs — which the DuckDB oracle computes directly; the verify stage
+    also removes genuine 64-bit simhash collisions between different sets."""
+    from mediacrawler_spark.functions.textual import tokens
     from mediacrawler_spark.operators.text_dedup import simhash_pairs
 
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+    pairs = simhash_pairs(d, max_hamming=0).select("id_a", "id_b")
+    ts = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("ts"),
+    )
+    return (
+        pairs.join(ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(ts.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        .filter(F.col("ts_a") == F.col("ts_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_sim_ann_lsh(spark, sf):
-    """LSH-bucketed ANN top-3 (rows-only; approximate by design)."""
+    """LSH-bucketed ANN, oracle-checked via planted twin queries: each
+    query vector is an exact copy of a corpus vector (vec_id + 10000), so
+    its signature lands in the same bucket and the rank-1 neighbor must be
+    the twin (cosine 1.0) — deterministic end-to-end through bucketing,
+    multiprobe and rerank. Approximate recall@k quality is covered by the
+    pytest recall bound (tests/test_similarity.py)."""
     from mediacrawler_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
     return (
         ann_lsh_topk(emb, q, dim=64, k=3)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
-        .orderBy("query_id", "rank")
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     )
 
 
 def q_txt_langid(spark, sf):
-    """Language-ID heuristic (rows-only: stopword inventory lives in code)."""
+    """Language-ID heuristic (stopword vote, argmax with lexicographic-max
+    tie-break) — stopword inventory inlined into the DuckDB oracle."""
     from mediacrawler_spark.functions.textual import lang_id
 
     d = _t(spark, sf, "documents")
@@ -421,18 +461,21 @@ def q_txt_langid(spark, sf):
 
 
 def q_media_decode(spark, sf):
-    """Multimodal plumbing (rows-only): synthesize blobs from doc text,
-    decode via mapInPandas (stub codec), aggregate by shape bucket."""
-    from mediacrawler_spark.operators.media import decode_media
+    """Multimodal plumbing: synthesize blobs from the doc_id string (ASCII
+    digits, so the stub codec's byte math is SQL-reproducible), decode via
+    mapInPandas, aggregate frames by media type. The oracle recomputes the
+    deterministic fake-codec metadata (n_frames = 1 + sum(bytes) % 300 for
+    video) in DuckDB."""
+    from mediacrawler_spark.operators.media import _fake_decode, decode_media
 
-    d = _t(spark, sf, "documents").limit(200)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     media = d.select(
         F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.encode(F.col("doc_id").cast("string"), "utf-8").alias("data"),
     )
     return (
-        decode_media(media)
+        decode_media(media, decoder=_fake_decode)
         .groupBy("media_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -548,9 +591,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "a1_wordcount_top20": """
+        "a1_wordcount_top20": r"""
             SELECT word, count(*) AS n FROM (
-                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+                SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS word
                 FROM documents)
             WHERE word <> '' GROUP BY word
             ORDER BY n DESC, word LIMIT 20
@@ -618,10 +661,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
         """,
-        "txt_stats": """
+        "txt_stats": r"""
             SELECT doc_id, length(text) AS n_chars_computed,
-                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                       x -> x <> '')) AS n_tokens
+                   CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id
         """,
         "txt_fingerprint": r"""
@@ -639,7 +682,87 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
-        # dedup_minhash_lsh / dedup_simhash / sim_ann_lsh / txt_langid /
-        # media_decode: non-SQL-expressible (LSH banding, bit tricks,
-        # code-resident stopword inventory, pandas-UDF codec) → rows-only.
+        # LSH/simhash queries are verify-then-report pipelines: the oracle
+        # recomputes the exact semantic answer (true Jaccard / identical
+        # token sets / planted twins) in SQL — the approximate candidate
+        # stage must find all of it for the row to go green.
+        "dedup_minhash_lsh": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(k * 1.0 / (sa.n + sb.n - k), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "dedup_simhash": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x <> ''))) AS ts
+              FROM documents)
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM t a JOIN t b ON a.ts = b.ts AND a.id < b.id
+            ORDER BY id_a, id_b
+        """,
+        "sim_ann_lsh": """
+            SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS neighbor_id
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "txt_langid": r"""
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            h AS (
+              SELECT
+                len(list_filter(toks, x -> list_contains(
+                    ['the','and','of','to','a','in','is','it','you','that'], x))) AS en,
+                len(list_filter(toks, x -> list_contains(
+                    ['der','die','das','und','ist','ein','nicht','mit','sich','auf'], x))) AS de,
+                len(list_filter(toks, x -> list_contains(
+                    ['le','la','et','les','des','est','un','une','dans','que'], x))) AS fr,
+                len(list_filter(toks, x -> list_contains(
+                    ['el','la','de','que','y','en','un','los','se','no'], x))) AS es
+              FROM t)
+            SELECT lang, count(*) AS n FROM (
+              SELECT CASE
+                  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                  -- argmax; ties to the lexicographically GREATEST lang,
+                  -- matching Spark's array_max over struct(hits, lang)
+                  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                  WHEN es = greatest(en, de, fr, es) THEN 'es'
+                  WHEN en = greatest(en, de, fr, es) THEN 'en'
+                  ELSE 'de' END AS lang
+              FROM h)
+            GROUP BY lang ORDER BY lang
+        """,
+        "media_decode": """
+            WITH m AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+                     list_sum(list_transform(
+                         range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                         i -> ascii(substring(CAST(doc_id AS VARCHAR), i, 1)))) AS h
+              FROM documents WHERE doc_id < 200)
+            SELECT media_type, count(*) AS n,
+                   CAST(sum(CASE WHEN media_type = 'video'
+                                 THEN 1 + h % 300 ELSE 1 END) AS BIGINT) AS frames
+            FROM m GROUP BY media_type ORDER BY media_type
+        """,
     }
