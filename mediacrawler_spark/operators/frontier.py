@@ -116,9 +116,18 @@ def emit_successors(
 ) -> DataFrame:
     """All successor frontier rows of one epoch's successful fetches.
 
-    ``max_comments_per_note`` mirrors CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES
-    (config/base_config.py:135); ``comments_per_page`` the per-platform fixed
-    page size (10-20, e.g. xhs/client.py:297).
+    ``max_comments_per_note`` plays the role of
+    CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES (config/base_config.py:135) with
+    one deliberate deviation: the reference counts SUB-comments toward the
+    budget too (xhs/client.py get_note_all_comments extends `result` with
+    sub_comments before the `len(result) < max_count` check), while the
+    engine budgets ROOT comments only — a root-count budget is a pure
+    per-row predicate (page*cpp + idx < max), so truncation needs no
+    cross-page running state at 10^10 scale. The oracle applies the same
+    root-only rule (oracle.py:277,347), keeping the invariant two-sided.
+    ``comments_per_page`` is the per-platform fixed page size (10-20,
+    e.g. xhs/client.py:297). ``max_pages_per_chain`` is a safety valve on
+    every cursor chain, mirrored in CrawlOracle.max_chain.
     """
     b = _base(successes, epoch)
 

@@ -73,6 +73,7 @@ class CrawlOracle:
         default_budget: int = 8,
         comments_per_page: int = 10,
         max_comments_per_note: int = 500,
+        max_pages_per_chain: int = 1000,
         epoch_ts: int = 1_700_000_000,
     ):
         self.pages = {r["url"]: r for r in pages.to_dict("records")}
@@ -93,6 +94,10 @@ class CrawlOracle:
         self.default_budget = default_budget
         self.cpp = comments_per_page
         self.max_comments = max_comments_per_note
+        # safety valve mirroring emit_successors' max_pages_per_chain: a
+        # cursor chain emits no successor past this seq (both sides MUST
+        # share the cap — CLAUDE.md invariant)
+        self.max_chain = max_pages_per_chain
 
     # -- robots ---------------------------------------------------------------
     def _allowed(self, task: Task) -> bool:
@@ -228,7 +233,7 @@ class CrawlOracle:
                     )
                 )
             streak = t.empty_streak + 1 if len(page["items"]) == 0 else 0
-            if page["has_more"] and streak < 2:
+            if page["has_more"] and streak < 2 and t.seq < self.max_chain:
                 import re
 
                 nxt = re.sub(r"page=\d+$", f"page={page['next_cursor']}", t.url)
@@ -274,7 +279,11 @@ class CrawlOracle:
                             parent_seq=t.seq * self.cpp + idx,
                         )
                     )
-            if page["has_more"] and (t.seq + 1) * self.cpp < self.max_comments:
+            if (
+                page["has_more"]
+                and (t.seq + 1) * self.cpp < self.max_comments
+                and t.seq < self.max_chain
+            ):
                 out.append(
                     _task(
                         f"https://{t.host}/comments/{nid}?cursor={page['next_cursor']}",
@@ -300,7 +309,7 @@ class CrawlOracle:
                         parent_id=it["id"],
                     )
                 )
-            if page["has_more"]:
+            if page["has_more"] and t.seq < self.max_chain:
                 out.append(
                     _task(
                         f"https://{t.host}/user/{nid}?cursor={page['next_cursor']}",
@@ -313,7 +322,7 @@ class CrawlOracle:
                     )
                 )
         elif t.kind == "sub_comment_page":
-            if page["has_more"]:
+            if page["has_more"] and t.seq < self.max_chain:
                 out.append(
                     _task(
                         f"https://{t.host}/subcomments/{nid}/{t.parent_id}"

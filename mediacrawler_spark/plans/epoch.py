@@ -63,6 +63,7 @@ class EngineConfig:
     salt_splits: int = 8
     comments_per_page: int = 10
     max_comments_per_note: int = 500
+    max_pages_per_chain: int = 1000  # cursor-chain safety valve (oracle-mirrored)
     max_epochs: int = 200
     bloom_fpp: float = 0.01
     bloom_shards: int = 16
@@ -309,7 +310,11 @@ class CrawlEngine:
                 successes, cfg.comments_per_page, cfg.max_comments_per_note
             )
             successors = emit_successors(
-                successes, epoch, cfg.comments_per_page, cfg.max_comments_per_note
+                successes,
+                epoch,
+                cfg.comments_per_page,
+                cfg.max_comments_per_note,
+                cfg.max_pages_per_chain,
             )
             fetch_log_e = fetched.select(
                 F.lit(epoch).alias("epoch"),

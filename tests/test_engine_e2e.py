@@ -221,6 +221,56 @@ def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
     assert res.total_fetched == oracle.total_fetched
 
 
+def test_max_pages_per_chain_boundary(spark, tmp_path):
+    """Regression (ADVICE r01): the cursor-chain safety valve must exist on
+    BOTH engine and oracle sides, or a chain reaching the cap diverges.
+    Pins the boundary with a tiny cap against a deep search chain: pages
+    up to seq == cap fetch, seq == cap+1 never does, and the full
+    fetch-order/seen invariants still hold."""
+    from mediacrawler_spark.fixtures import UniverseParams, build_universe
+    from mediacrawler_spark.schemas import (
+        PAGES_SCHEMA,
+        POLITENESS_SCHEMA,
+        ROBOTS_SCHEMA,
+        SEEDS_SCHEMA,
+    )
+
+    cap = 2
+    u = build_universe(
+        UniverseParams(
+            n_notes=30, n_hosts=3, n_keywords=2,
+            search_pages_per_keyword=6, max_comments_per_note=10,
+        )
+    )
+    cfg = EngineConfig(max_comments_per_note=10, max_pages_per_chain=cap, max_epochs=60)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_cap"))
+    eng = CrawlEngine(
+        spark, cat,
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
+        cfg,
+    )
+    res = eng.run(spark.createDataFrame(u.seeds, SEEDS_SCHEMA))
+    oracle = CrawlOracle(
+        u.pages, u.robots, u.politeness,
+        default_budget=cfg.default_budget,
+        comments_per_page=cfg.comments_per_page,
+        max_comments_per_note=cfg.max_comments_per_note,
+        max_pages_per_chain=cap,
+        epoch_ts=cfg.epoch_ts,
+    ).run(u.seeds)
+
+    got_seen = {r["url"] for r in cat.read("seen").collect()}
+    assert got_seen == oracle.seen
+    assert res.total_fetched == oracle.total_fetched
+    # the cap actually bit: a search page at seq == cap fetched, none past it
+    search_pages = [u for u in got_seen if "/search?" in u]
+    pages_fetched = {int(u.rsplit("page=", 1)[1]) for u in search_pages}
+    assert cap in pages_fetched, "fixture must reach the cap boundary"
+    assert max(pages_fetched) == cap, f"chain ran past the cap: {pages_fetched}"
+
+
 def test_lineage_written(engine_result):
     eng, res = engine_result
     lin = eng.catalog.read("lineage")
