@@ -204,6 +204,17 @@ def q_a1_wordcount_top20(spark, sf):
     )
 
 
+def q_a1_wordcount_cjk(spark, sf):
+    """A1 with the CJK-aware segmenter (jieba/FMM pandas UDF — the
+    reference's tools/words.py:43 jieba.lcut path). On the ASCII harness
+    corpus segmentation provably equals the regex tokenizer
+    (tests/test_segment.py pins that), so the same SQL oracle applies;
+    CJK behavior itself is golden-tested in pytest."""
+    from mediacrawler_spark.functions.segment import wordcount_topk
+
+    return wordcount_topk(_t(spark, sf, "documents"), "text", k=20)
+
+
 def q_a4_pivot_unpack(spark, sf):
     """A4: interactions unpack (store/xhs/__init__.py:177-186) — conditional
     counts per user."""
@@ -499,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_day_slicing": q_f11_day_slicing,
         "f14_json_extract": q_f14_json_extract,
         "a1_wordcount_top20": q_a1_wordcount_top20,
+        "a1_wordcount_cjk": q_a1_wordcount_cjk,
         "a4_pivot_unpack": q_a4_pivot_unpack,
         "p8_filter_sort_dedup": q_p8_filter_sort_dedup,
         "s8_prefix_gate": q_s8_prefix_gate,
@@ -592,6 +604,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "a1_wordcount_top20": r"""
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS word
+                FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY n DESC, word LIMIT 20
+        """,
+        "a1_wordcount_cjk": r"""
             SELECT word, count(*) AS n FROM (
                 SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS word
                 FROM documents)

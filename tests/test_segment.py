@@ -1,0 +1,71 @@
+"""CJK-aware segmentation for A1 word-frequency parity (tools/words.py
+jieba.lcut analog). Golden expectations are hand-segmented with the
+bundled FMM dictionary, mirroring the reference's count-then-top-k flow."""
+
+from mediacrawler_spark.functions.segment import segment_one, segment_tokens, wordcount_topk
+
+# Chinese fixture mirroring the reference's typical input (note content +
+# comments from its seven Chinese platforms).
+FIXTURE = [
+    "今天分享一个小红书美食攻略，真的非常好看，大家可以关注我",
+    "我们今天一起学习数据分析，评论区分享你们的问题",
+    "这个视频真的有趣，点赞关注不迷路 awesome Video 123",
+    "今天天气好",
+]
+
+
+def test_fmm_greedy_longest_match():
+    # 为什么 (3) wins over 为+什么; OOV chars fall back to single chars
+    assert segment_one("为什么不能分享") == ["为什么", "不能", "分享"]
+    assert segment_one("小红书笔记") == ["小红书", "笔记"]
+    # OOV run: each char alone
+    assert segment_one("犇骉") == ["犇", "骉"]
+
+
+def test_mixed_cjk_ascii_order_and_lowercase():
+    got = segment_one("这个视频真的有趣，点赞关注不迷路 awesome Video 123")
+    assert got[:4] == ["这个", "视频", "真的", "有趣"]
+    assert got[-3:] == ["awesome", "video", "123"]
+    # punctuation (，) never becomes a token
+    assert "，" not in got and "" not in got
+
+
+def test_golden_wordcount_top5(spark):
+    df = spark.createDataFrame([(t,) for t in FIXTURE], "text string")
+    got = [(r["word"], r["n"]) for r in wordcount_topk(df, "text", k=5).collect()]
+    # hand-derived with the bundled dict: 今天 x3 (incl. 今天天气好 →
+    # 今天+天+气+好), then 关注/分享/真的 x2 tie-broken by codepoint,
+    # then the n=1 ties led by ascii "123"
+    assert got == [
+        ("今天", 3),
+        ("关注", 2),
+        ("分享", 2),
+        ("真的", 2),
+        ("123", 1),
+    ]
+
+
+def test_stopword_filter_matches_reference_flow(spark):
+    df = spark.createDataFrame([(t,) for t in FIXTURE], "text string")
+    got = {r["word"] for r in wordcount_topk(df, "text", k=5, stopwords=["今天", "真的"]).collect()}
+    assert "今天" not in got and "真的" not in got
+    assert "分享" in got
+
+
+def test_segment_tokens_udf_matches_python(spark):
+    df = spark.createDataFrame([(t,) for t in FIXTURE], "text string")
+    got = [r["t"] for r in df.select(segment_tokens("text").alias("t")).collect()]
+    assert got == [segment_one(t) for t in FIXTURE]
+
+
+def test_ascii_only_text_matches_regex_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.functions.textual import tokens
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    a = df.select(F.col("doc_id"), segment_tokens("text").alias("t"))
+    b = df.select(F.col("doc_id"), tokens(F.col("text")).alias("t"))
+    ga = {r["doc_id"]: r["t"] for r in a.collect()}
+    gb = {r["doc_id"]: r["t"] for r in b.collect()}
+    assert ga == gb, "on pure-ASCII text the segmenter must equal tokens()"
