@@ -28,6 +28,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mediacrawler_spark.operators.cuckoo import (
+    CuckooParams,
+    build_cuckoo_table,
+    dedup_against_seen_cuckoo,
+    insert_into_cuckoo,
+)
 from mediacrawler_spark.operators.dedup import (
     BloomParams,
     build_bloom_table,
@@ -65,6 +71,10 @@ class EngineConfig:
     max_comments_per_note: int = 500
     max_pages_per_chain: int = 1000  # cursor-chain safety valve (oracle-mirrored)
     max_epochs: int = 200
+    # URL-seen prefilter kind (north_rule "bloom/cuckoo"): bloom is the
+    # smaller append-only default; cuckoo supports DELETE for TTL/eviction
+    # re-crawl scenarios (operators/cuckoo.py)
+    seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_shards: int = 16
     # above this total bitmap size the probe switches from broadcast-dict
@@ -139,15 +149,22 @@ class CrawlEngine:
 
     # -- persistent bloom state (incremental URL-seen prefilter) -------------
     def _load_bloom(self) -> dict | None:
-        """Resume the bloom filter from the snapshot (table + sizing meta).
-        Returns None on a fresh catalog or one predating bloom persistence —
-        the first epoch then rebuilds from ``seen``."""
+        """Resume the seen-prefilter from the snapshot (table + sizing
+        meta). Returns None on a fresh catalog, one predating filter
+        persistence, or a filter-kind switch — the first epoch then
+        rebuilds from ``seen``."""
         m = self.catalog.meta().get("bloom")
-        if m and self.catalog.has("bloom"):
-            params = BloomParams(
-                n_shards=int(m["n_shards"]), m_bits=int(m["m_bits"]), k=int(m["k"])
-            )
+        if m and self.catalog.has("bloom") and m.get("kind", "bloom") == self.cfg.seen_filter:
+            if m.get("kind", "bloom") == "cuckoo":
+                params = CuckooParams(
+                    n_shards=int(m["n_shards"]), n_buckets=int(m["n_buckets"])
+                )
+            else:
+                params = BloomParams(
+                    n_shards=int(m["n_shards"]), m_bits=int(m["m_bits"]), k=int(m["k"])
+                )
             return {
+                "kind": m.get("kind", "bloom"),
                 "params": params,
                 "capacity": int(m["capacity"]),
                 "n_inserted": int(m["n_inserted"]),
@@ -169,9 +186,15 @@ class CrawlEngine:
             return bloom
         n_seen = bloom["n_inserted"] if bloom is not None else seen.count()
         capacity = max(1024, 2 * max(n_seen, n_batch * 4))
-        params = BloomParams.size(capacity, self.cfg.bloom_fpp, self.cfg.bloom_shards)
-        self.catalog.stage(build_bloom_table(seen.select("url_hash"), params), "bloom")
+        if self.cfg.seen_filter == "cuckoo":
+            params = CuckooParams.size(capacity, self.cfg.bloom_shards)
+            table = build_cuckoo_table(seen.select("url_hash"), params)
+        else:
+            params = BloomParams.size(capacity, self.cfg.bloom_fpp, self.cfg.bloom_shards)
+            table = build_bloom_table(seen.select("url_hash"), params)
+        self.catalog.stage(table, "bloom")
         return {
+            "kind": self.cfg.seen_filter,
             "params": params,
             "capacity": capacity,
             "n_inserted": n_seen,
@@ -179,11 +202,15 @@ class CrawlEngine:
         }
 
     def _advance_bloom(self, bloom: dict, admitted: DataFrame, n_admitted: int) -> dict:
-        """OR the epoch's admitted delta into the persisted filter —
-        O(n_shards × shard_bytes) per epoch, independent of |seen|
+        """Fold the epoch's admitted delta into the persisted filter —
+        O(delta) + one state rewrite per epoch, independent of |seen|
         (VERDICT r01 item 3: never rebuild from the full seen set)."""
-        delta = build_bloom_table(admitted.select("url_hash"), bloom["params"])
-        merged = or_merge_bloom(bloom["df"], delta, bloom["params"].m_bits // 8)
+        keys = admitted.select("url_hash")
+        if bloom["kind"] == "cuckoo":
+            merged = insert_into_cuckoo(bloom["df"], keys, bloom["params"])
+        else:
+            delta = build_bloom_table(keys, bloom["params"])
+            merged = or_merge_bloom(bloom["df"], delta, bloom["params"].m_bits // 8)
         self.catalog.stage(merged, "bloom")
         return {
             **bloom,
@@ -193,13 +220,17 @@ class CrawlEngine:
 
     def _bloom_meta(self, bloom: dict) -> dict:
         p = bloom["params"]
-        return {
-            "m_bits": p.m_bits,
-            "k": p.k,
+        meta = {
+            "kind": bloom["kind"],
             "n_shards": p.n_shards,
             "capacity": bloom["capacity"],
             "n_inserted": bloom["n_inserted"],
         }
+        if bloom["kind"] == "cuckoo":
+            meta["n_buckets"] = p.n_buckets
+        else:
+            meta.update({"m_bits": p.m_bits, "k": p.k})
+        return meta
 
     def documents(self) -> DataFrame:
         span_rows = self.catalog.read("span_rows")
@@ -257,15 +288,20 @@ class CrawlEngine:
             unique_batch = dedup_within_batch(gated).persist()
             n_batch = unique_batch.count()
             bloom = self._ensure_bloom(bloom, seen, n_batch)
-            admitted = (
-                dedup_against_seen_bloom(
+            if bloom["kind"] == "cuckoo":
+                deduped = dedup_against_seen_cuckoo(
+                    unique_batch, seen, bloom["df"], bloom["params"]
+                )
+            else:
+                deduped = dedup_against_seen_bloom(
                     unique_batch,
                     seen,
                     bloom["df"],
                     bloom["params"],
                     cfg.bloom_broadcast_max_bytes,
                 )
-                .withColumn("epoch", F.lit(epoch))
+            admitted = (
+                deduped.withColumn("epoch", F.lit(epoch))
                 .withColumn(
                     "not_before_epoch", F.greatest("not_before_epoch", F.lit(epoch))
                 )
