@@ -123,6 +123,40 @@ def with_url_key(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# --- URL-kind dispatch for bare-URL seeds (S2) ------------------------------
+# The reference infers the content kind from URL shape when a user supplies
+# bare URLs (media_platform/zhihu/help.py:441-460 judge_zhihu_url: /answer/ →
+# answer, /p/ → article, /zvideo/ → zvideo). The engine's URL grammar maps
+# path markers to frontier kinds the same way; unknown shapes default to
+# "detail" (the reference's specified-URL mode treats bare URLs as notes).
+_KIND_MARKERS: tuple[tuple[str, str], ...] = (
+    ("/search", "search_page"),
+    ("/subcomments/", "sub_comment_page"),
+    ("/comments/", "comment_page"),
+    ("/user/", "listing"),
+    ("/creator/", "listing"),
+)
+
+
+def infer_kind_py(url: str) -> str:
+    """Python twin of :func:`infer_kind` — the oracle must dispatch bare
+    seeds identically (tests pin column/python agreement)."""
+    path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+    for marker, kind in _KIND_MARKERS:
+        if marker in path:
+            return kind
+    return "detail"
+
+
+def infer_kind(url: Column) -> Column:
+    """Frontier kind from URL shape — pure column expression (codegen)."""
+    expr = F.lit("detail")
+    p = url_path(url)
+    for marker, kind in reversed(_KIND_MARKERS):
+        expr = F.when(p.contains(marker), F.lit(kind)).otherwise(expr)
+    return expr
+
+
 # Re-exported for driver-side fixture/oracle use (single-threaded oracle must
 # hash identically; xxhash64 parity is checked in tests via Spark itself).
 canonicalize_one = _canonicalize_one

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
+from mediacrawler_spark.functions.urls import canonicalize_urls, host_of, infer_kind
 from mediacrawler_spark.schemas import FRONTIER_SCHEMA
 from mediacrawler_spark.sources.fetch import BLOCKING, PERMANENT, RETRYABLE
 
@@ -32,14 +32,21 @@ QUARANTINE_EPOCHS = 2
 
 
 def seeds_to_candidates(seeds: DataFrame, epoch: int = 0) -> DataFrame:
-    """Seed table (S1-S3 shape) → canonical frontier candidate rows."""
+    """Seed table (S1-S3 shape) → canonical frontier candidate rows.
+
+    A seed of bare URLs is the common real input (the reference's
+    specified-URL mode): rows with a NULL/empty ``kind`` get it inferred
+    from URL shape (zhihu/help.py:441-460 judge_zhihu_url analog)."""
     s = seeds.withColumn("url", canonicalize_urls(F.col("url")))
+    kind = F.coalesce(
+        F.nullif(F.col("kind"), F.lit("")), infer_kind(F.col("url"))
+    )
     return s.select(
         F.col("url"),
         F.xxhash64("url").alias("url_hash"),
         host_of(F.col("url")).alias("host"),
         F.col("platform"),
-        F.col("kind"),
+        kind.alias("kind"),
         F.col("priority").cast("int"),
         F.col("seq").cast("long"),
         F.lit(None).cast("string").alias("parent_id"),

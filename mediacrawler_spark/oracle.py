@@ -112,11 +112,19 @@ class CrawlOracle:
     def run(self, seeds: pd.DataFrame, max_epochs: int = 500) -> OracleResult:
         res = OracleResult()
         spans: dict[str, list[tuple]] = {}  # doc_id -> [(sortkey..., kind, text, ref)]
+        from mediacrawler_spark.functions.urls import infer_kind_py
+
         candidates: list[Task] = [
             _task(
                 r["url"],
                 platform=r["platform"],
-                kind=r["kind"],
+                # bare-URL seeds: dispatch kind from URL shape, exactly as
+                # seeds_to_candidates does (zhihu judge_zhihu_url analog)
+                kind=(
+                    r["kind"]
+                    if isinstance(r["kind"], str) and r["kind"]
+                    else infer_kind_py(r["url"])
+                ),
                 priority=int(r["priority"]),
                 seq=int(r["seq"]),
             )

@@ -1,4 +1,4 @@
-"""URL canonicalization (F1) + xxhash64 key parity (F9)."""
+"""URL canonicalization + kind dispatch (F1) + xxhash64 key parity (F9)."""
 
 from pyspark.sql import functions as F
 
@@ -98,3 +98,79 @@ def test_host_of(spark):
     )
     got = [r["h"] for r in df.select(host_of(F.col("url")).alias("h")).collect()]
     assert got == ["h0.example.test", "a.b"]
+
+
+def test_infer_kind_dispatch():
+    """Bare-URL seed dispatch (zhihu/help.py:441-460 judge_zhihu_url
+    analog): every URL shape of the engine grammar maps to its kind,
+    unknown shapes default to detail."""
+    from mediacrawler_spark.functions.urls import infer_kind_py
+
+    cases = {
+        "https://h0.example.test/note/0123": "detail",
+        "https://h0.example.test/search?keyword=k&page=0": "search_page",
+        "https://h0.example.test/comments/0123?cursor=0": "comment_page",
+        "https://h0.example.test/subcomments/0123/c9?cursor=1": "sub_comment_page",
+        "https://h0.example.test/user/u7?cursor=": "listing",
+        "https://h0.example.test/creator/u7": "listing",
+        "https://www.zhihu.example/p/12345": "detail",  # unknown → detail
+    }
+    for url, want in cases.items():
+        assert infer_kind_py(url) == want, url
+
+
+def test_infer_kind_column_matches_python(spark):
+    """The codegen column expression and the oracle's python twin must
+    dispatch identically (two-sided invariant)."""
+    from mediacrawler_spark.functions.urls import infer_kind, infer_kind_py
+
+    urls = [
+        "https://h0.example.test/note/0123",
+        "https://h0.example.test/search?keyword=k&page=0",
+        "https://h0.example.test/comments/0123?cursor=0",
+        "https://h0.example.test/subcomments/0123/c9?cursor=1",
+        "https://h0.example.test/user/u7?cursor=",
+        "https://h0.example.test/creator/u7",
+        "https://x.y/weird/thing",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["k"] for r in df.select("url", infer_kind(F.col("url")).alias("k")).collect()}
+    assert got == {u: infer_kind_py(u) for u in urls}
+
+
+def test_bare_url_seeds_end_to_end(spark, universe, udfs, tmp_path):
+    """Seeds stripped of their kind column (the common real input) must
+    crawl identically to kind-ful seeds — engine and oracle both dispatch
+    from URL shape."""
+    from mediacrawler_spark.oracle import CrawlOracle
+    from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+    from mediacrawler_spark.schemas import SEEDS_SCHEMA
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    bare = universe.seeds.copy()
+    bare["kind"] = ""  # SEEDS_SCHEMA kind is non-nullable; empty = unset
+    cfg = EngineConfig(max_comments_per_note=25, max_epochs=80)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_bare"))
+    eng = CrawlEngine(
+        spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], cfg
+    )
+    eng.run(spark.createDataFrame(bare, SEEDS_SCHEMA))
+    oracle = CrawlOracle(
+        universe.pages, universe.robots, universe.politeness,
+        default_budget=cfg.default_budget,
+        comments_per_page=cfg.comments_per_page,
+        max_comments_per_note=cfg.max_comments_per_note,
+        epoch_ts=cfg.epoch_ts,
+    ).run(bare)
+    got_seen = {r["url"] for r in cat.read("seen").collect()}
+    assert got_seen == oracle.seen
+    # and identical to the kind-ful oracle run (dispatch is lossless)
+    kindful = CrawlOracle(
+        universe.pages, universe.robots, universe.politeness,
+        default_budget=cfg.default_budget,
+        comments_per_page=cfg.comments_per_page,
+        max_comments_per_note=cfg.max_comments_per_note,
+        epoch_ts=cfg.epoch_ts,
+    ).run(universe.seeds)
+    assert oracle.seen == kindful.seen
+    assert oracle.fetch_order == kindful.fetch_order
