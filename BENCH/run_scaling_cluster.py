@@ -76,44 +76,67 @@ def run_cluster(n_exec: int, n_urls: int, cores: int) -> dict:
     }
 
 
+def measure_pair(n_lo: int, n_urls: int, cores: int, rounds: int) -> tuple[dict, dict, float]:
+    """Interleaved best-of-R sampling of the (N, 4N) executor pair — the
+    same variance control the thread-scaling bench uses: alternating arms
+    within each round means a host-wide slowdown hits both arms equally."""
+    n_hi = n_lo * 4
+    best: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for n_exec in (n_lo, n_hi):
+            r = run_cluster(n_exec, n_urls, cores)
+            print(f"round {rnd}: {n_exec} exec: {r['urls_per_sec']:,.0f} u/s", file=sys.stderr)
+            if n_exec not in best or r["urls_per_sec"] > best[n_exec]["urls_per_sec"]:
+                best[n_exec] = r
+    lo, hi = best[n_lo], best[n_hi]
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
+    return lo, hi, eff
+
+
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    r1 = run_cluster(1, n_urls, cores)
-    print(f"1 executor : {r1}", file=sys.stderr)
-    r4 = run_cluster(4, n_urls, cores)
-    print(f"4 executors: {r4}", file=sys.stderr)
-    eff = (r4["urls_per_sec"] / r1["urls_per_sec"]) / 4
+    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    lo, hi, eff = measure_pair(n_lo, n_urls, cores, rounds)
 
     section = f"""
-## Process-cluster evidence (N vs 4N executor processes)
+## Process-cluster evidence (N={n_lo} vs 4N={n_lo * 4} executor processes)
 
 Multi-executor emulation: each "executor" is its own JVM (`local[{cores}]`,
-own BlockManager/GC/shuffle files), computing its `pmod(xxhash64(url), E)`
-shard of the SAME admission job (canonicalize → xxhash64 → intra-batch
-dedup → bloom build/probe → exact anti-join) on the SAME synthetic seed
-list — the url_hash sharding a real cluster uses, so E executors compute
-the identical global result. Simultaneous start via file barrier; wall =
-slowest executor; full-pipeline JIT warmup per executor.
+own BlockManager/GC/shuffle files, `ActiveProcessorCount={cores}`), pinned
+via `taskset` to a DISJOINT {cores}-core range, computing its
+`pmod(xxhash64(url), E)` shard of the SAME admission job (canonicalize →
+xxhash64 → intra-batch dedup → bloom build/probe → exact anti-join) on the
+SAME synthetic seed list — the url_hash sharding a real cluster uses, so E
+executors compute the identical global result. Simultaneous start via file
+barrier; wall = slowest executor; full-pipeline JIT warmup per executor;
+interleaved best-of-{rounds} sampling across arms.
 
 | cluster | total URLs | wall s | URLs scheduled+deduped /sec |
 |---|---|---|---|
-| 1 executor × {cores} cores | {n_urls} | {r1['wall_seconds']} | {r1['urls_per_sec']:,.0f} |
-| 4 executors × {cores} cores | {n_urls} | {r4['wall_seconds']} | {r4['urls_per_sec']:,.0f} |
+| {n_lo} executor(s) × {cores} cores | {n_urls} | {lo['wall_seconds']} | {lo['urls_per_sec']:,.0f} |
+| {n_lo * 4} executors × {cores} cores | {n_urls} | {hi['wall_seconds']} | {hi['urls_per_sec']:,.0f} |
 
-**efficiency = ({r4['urls_per_sec']:,.0f} / {r1['urls_per_sec']:,.0f}) / 4 = {eff:.3f}** ({'PASS' if eff >= 0.8 else 'FAIL'} >= 0.8)
+**efficiency = ({hi['urls_per_sec']:,.0f} / {lo['urls_per_sec']:,.0f}) / 4 = {eff:.3f}** ({'PASS' if eff >= 0.8 else 'FAIL'} >= 0.8)
 
-Per-executor seconds (4-exec run): {r4['per_exec_seconds']} — balanced
-shards (no url_hash skew), as designed.
+Co-residency caveat: on a real cluster each executor owns its machine's
+memory bandwidth and LLC; here all executors share ONE VM's memory system,
+so the 4N arm pays a co-residency tax a real cluster would not (the pinned
+raw-CPU probe in the thread-scaling section quantifies it). Per-executor
+seconds (4N run): {hi['per_exec_seconds']} — balanced shards, no url_hash skew.
 
-Reproduce: `python BENCH/run_scaling_cluster.py {n_urls} {cores}`
+Reproduce: `python BENCH/run_scaling_cluster.py {n_urls} {cores} {n_lo} {rounds}`
 Generated: {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}
 """
     path = REPO / "BENCH" / "BASELINE.md"
     existing = path.read_text() if path.exists() else "# BENCH/BASELINE — scaling evidence\n"
-    marker = "\n## Process-cluster evidence"
+    marker = f"\n## Process-cluster evidence (N={n_lo}"
     if marker in existing:
-        existing = existing.split(marker)[0]
+        head, _, tail = existing.partition(marker)
+        # keep any later, differently-keyed sections that followed
+        nxt = tail.find("\n## ")
+        existing = head + (tail[nxt:] if nxt != -1 else "")
     path.write_text(existing + section)
     print(section)
 

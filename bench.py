@@ -47,6 +47,7 @@ def main() -> None:
         qmap = entry_mod.queries()
         bench_queries = [
             "a1_wordcount_top20",
+            "a1_wordcount_cjk",
             "j2_broadcast_dim_join",
             "w1_priority_topk",
             "w4_running_truncation",

@@ -37,6 +37,22 @@ def big_universe():
     )
 
 
+def test_seedlist_ordering_oracle_vectorized(spark):
+    """The 10^7 metric's oracle (BENCH/run_ordering_10m.py) at 10^5 —
+    analytic canonical URLs + numpy dedup/selection must match the engine
+    on every check. The full 10^7 run is recorded in BENCH/BASELINE.md
+    (match rate 1.0)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "BENCH"))
+    from run_ordering_10m import run
+
+    r = run(100_000, spark=spark)
+    assert r["canon_match"] and r["seen_match"] and r["admitted_match"]
+    assert r["selection_match"] and r["match_rate"] == 1.0, r
+
+
 def test_ordering_match_at_scale(spark, big_universe, tmp_path_factory):
     u = big_universe
     n_urls = len(u.pages)
