@@ -71,6 +71,9 @@ class EngineConfig:
     max_comments_per_note: int = 500
     max_pages_per_chain: int = 1000  # cursor-chain safety valve (oracle-mirrored)
     max_epochs: int = 200
+    # append-table compaction threshold (Iceberg rewrite_data_files analog):
+    # rewrite per-epoch dirs into one once a table exceeds this many
+    compact_appends_after: int = 32
     # URL-seen prefilter kind (north_rule "bloom/cuckoo"): bloom is the
     # smaller append-only default; cuckoo supports DELETE for TTL/eviction
     # re-crawl scenarios (operators/cuckoo.py)
@@ -396,14 +399,22 @@ class CrawlEngine:
             self.catalog.commit(epoch, meta={"bloom": self._bloom_meta(bloom)})
 
             if epoch % 8 == 7:
-                # Iceberg expire_snapshots analog: drop replace-table
-                # versions older than the previous commit (risk §7.4.5)
+                # Iceberg maintenance analog: compact accumulated append
+                # dirs (rewrite_data_files), then drop dead versions +
+                # swapped-out append dirs (expire_snapshots, risk §7.4.5)
+                for t in ("seen", "span_rows", "fetch_log", "lineage",
+                          "admitted", "fetched"):
+                    self.catalog.compact_appends(t, cfg.compact_appends_after)
                 self.catalog.expire_versions(keep_last=2)
 
-            # re-read state: bounds DAG depth across epochs
+            # re-read state: bounds DAG depth across epochs (quarantine
+            # included — its lazy union chain would otherwise reference
+            # every past epoch's fetched dir, growing the plan per epoch
+            # and dangling once maintenance expires those dirs)
             frontier = self._frontier()
             seen = self._seen()
             candidates = self._candidates()
+            quarantine = self._quarantine()
 
             result.epochs.append(
                 EpochStats(epoch, n_admitted, n_dedup, n_fetched, n_emitted)

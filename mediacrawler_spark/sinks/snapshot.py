@@ -82,11 +82,11 @@ class SnapshotCatalog:
     def stage_append(self, df: DataFrame, table: str, epoch: int) -> None:
         """Write one epoch's increment of an append-only table (seen,
         span_rows, fetch_log, lineage) — the Iceberg append-snapshot
-        analog; never rewrites history."""
+        analog; never rewrites history (but see compact_appends)."""
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, table, f"e={epoch}")
         )
-        self._pending_appends.setdefault(table, []).append(epoch)
+        self._pending_appends.setdefault(table, []).append(str(epoch))
 
     def commit(self, epoch: int, meta: dict | None = None) -> None:
         """Make all staged versions visible atomically. ``meta`` carries
@@ -95,7 +95,10 @@ class SnapshotCatalog:
         the previous commit's meta wholesale for the keys given."""
         tables = {**self._versions, **self._pending}
         appends = {
-            t: sorted(set(self._appends.get(t, []) + self._pending_appends.get(t, [])))
+            t: sorted(
+                {str(x) for x in self._appends.get(t, [])}
+                | {str(x) for x in self._pending_appends.get(t, [])}
+            )
             for t in set(self._appends) | set(self._pending_appends)
         }
         new_meta = {**self._meta, **(meta or {})}
@@ -166,12 +169,35 @@ class SnapshotCatalog:
                 problems.append(f"lineage fetch_count {lin} != fetch_log rows {logn}")
         return problems
 
+    def compact_appends(self, table: str, max_dirs: int = 32) -> bool:
+        """Iceberg ``rewrite_data_files`` analog: when an append-only table
+        has accumulated more than ``max_dirs`` per-epoch directories,
+        rewrite them into ONE compacted dir and commit the swap atomically.
+
+        At 10^4+ epochs the per-epoch layout means 10^4 small parquet dirs
+        per table — listing and tiny-file overhead dominate reads. The
+        rewrite preserves content exactly (row order is not part of any
+        table's contract); uncommitted (pending) increments are untouched
+        and remain pending. Returns True if a compaction ran."""
+        labels = [str(x) for x in self._appends.get(table, [])]
+        if len(labels) <= max_dirs:
+            return False
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, table, f"e={lab}") for lab in labels]
+        )
+        label = f"c{self.committed_epoch()}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, table, f"e={label}"))
+        self._appends[table] = [label]
+        self.commit(self.committed_epoch())  # same epoch: pure metadata swap
+        return True
+
     def expire_versions(self, keep_last: int = 2) -> int:
         """Snapshot expiry (SURVEY §7.4 risk 5: state growth across
         epochs). Replace-style tables rewrite fully each epoch; old
         version dirs are dead weight once a newer commit exists — the
-        Iceberg expire_snapshots analog. Append tables are history and
-        are never expired here. Returns the number of dirs removed."""
+        Iceberg expire_snapshots analog. Append dirs that a compaction
+        swapped out of the current commit are collected too (pending
+        increments are preserved). Returns the number of dirs removed."""
         import shutil
 
         removed = 0
@@ -184,6 +210,17 @@ class SnapshotCatalog:
                     continue
                 v = int(entry.split("=", 1)[1])
                 if v <= current - keep_last:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                    removed += 1
+        for table in set(self._appends) | set(self._pending_appends):
+            live = {str(x) for x in self._appends.get(table, [])} | {
+                str(x) for x in self._pending_appends.get(table, [])
+            }
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("e=") and entry[2:] not in live:
                     shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
                     removed += 1
         return removed

@@ -1,0 +1,103 @@
+"""Append-table compaction (Iceberg rewrite_data_files analog): per-epoch
+dirs get rewritten into one, content and resume are unaffected, and dead
+dirs are collected."""
+
+import os
+
+import pytest
+
+from mediacrawler_spark.fixtures import UniverseParams, build_universe
+from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+from mediacrawler_spark.schemas import (
+    PAGES_SCHEMA,
+    POLITENESS_SCHEMA,
+    ROBOTS_SCHEMA,
+    SEEDS_SCHEMA,
+)
+from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+
+def _run(spark, u, root, compact_after):
+    cfg = EngineConfig(
+        max_comments_per_note=10, max_epochs=80, compact_appends_after=compact_after
+    )
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(
+        spark, cat,
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
+        cfg,
+    )
+    eng.run(spark.createDataFrame(u.seeds, SEEDS_SCHEMA))
+    return eng, cat
+
+
+def _state(cat):
+    seen = frozenset(r["url"] for r in cat.read("seen").collect())
+    log = sorted(
+        (r["host"], r["url"], r["epoch"], r["host_rank"])
+        for r in cat.read("fetch_log").collect()
+    )
+    return seen, log
+
+
+@pytest.mark.slow
+def test_compaction_preserves_content_and_bounds_dirs(spark, tmp_path):
+    u = build_universe(
+        UniverseParams(n_notes=40, n_hosts=4, n_keywords=2,
+                       search_pages_per_keyword=2, max_comments_per_note=10,
+                       budget_hot=4, budget_warm=3)
+    )
+    _, cat_plain = _run(spark, u, str(tmp_path / "plain"), compact_after=10_000)
+    _, cat_comp = _run(spark, u, str(tmp_path / "comp"), compact_after=4)
+
+    assert _state(cat_plain) == _state(cat_comp)
+
+    def n_dirs(root, table):
+        d = os.path.join(root, table)
+        return len([e for e in os.listdir(d) if e.startswith("e=")]) if os.path.isdir(d) else 0
+
+    n_epochs = cat_comp.committed_epoch() + 1
+    assert n_epochs > 8, "universe must run enough epochs to trigger maintenance"
+    for t in ("seen", "fetch_log", "span_rows"):
+        assert n_dirs(str(tmp_path / "comp"), t) < n_dirs(str(tmp_path / "plain"), t), t
+        # bounded: at most threshold + dirs accrued since the last maintenance
+        assert n_dirs(str(tmp_path / "comp"), t) <= 4 + 8, t
+
+
+def test_resume_after_compaction(spark, tmp_path):
+    u = build_universe(
+        UniverseParams(n_notes=40, n_hosts=4, n_keywords=2,
+                       search_pages_per_keyword=2, max_comments_per_note=10,
+                       budget_hot=4, budget_warm=3)
+    )
+    root = str(tmp_path / "resume")
+    cfg = EngineConfig(max_comments_per_note=10, compact_appends_after=4)
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(
+        spark, cat,
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
+        cfg,
+    )
+    # run long enough that at least one maintenance+compaction happened
+    eng.run(spark.createDataFrame(u.seeds, SEEDS_SCHEMA), max_epochs=10)
+    assert cat.committed_epoch() >= 7, "maintenance (epoch 7) must have run"
+    # compaction actually happened: seen has fewer dirs than epochs
+    seen_dirs = [e for e in os.listdir(os.path.join(root, "seen")) if e.startswith("e=")]
+    assert any(e.startswith("e=c") for e in seen_dirs), seen_dirs
+    assert not cat.fsck()
+
+    eng2 = CrawlEngine(
+        spark, SnapshotCatalog(spark, root),
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
+        cfg,
+    )
+    eng2.run(None)
+
+    _, cat_plain = _run(spark, u, str(tmp_path / "plain"), compact_after=10_000)
+    assert _state(eng2.catalog) == _state(cat_plain)
