@@ -207,7 +207,11 @@ class CrawlEngine:
     def _advance_bloom(self, bloom: dict, admitted: DataFrame, n_admitted: int) -> dict:
         """Fold the epoch's admitted delta into the persisted filter —
         O(delta) + one state rewrite per epoch, independent of |seen|
-        (VERDICT r01 item 3: never rebuild from the full seen set)."""
+        (VERDICT r01 item 3: never rebuild from the full seen set).
+        Zero-admission epochs (backoff/drain tail — common) skip the
+        build+merge+stage entirely."""
+        if n_admitted == 0:
+            return bloom
         keys = admitted.select("url_hash")
         if bloom["kind"] == "cuckoo":
             merged = insert_into_cuckoo(bloom["df"], keys, bloom["params"])
@@ -291,7 +295,11 @@ class CrawlEngine:
             unique_batch = dedup_within_batch(gated).persist()
             n_batch = unique_batch.count()
             bloom = self._ensure_bloom(bloom, seen, n_batch)
-            if bloom["kind"] == "cuckoo":
+            if bloom["n_inserted"] == 0:
+                # empty seen set (first epoch): everything is new — skip
+                # the filter collect/probe/anti-join jobs outright
+                deduped = unique_batch
+            elif bloom["kind"] == "cuckoo":
                 deduped = dedup_against_seen_cuckoo(
                     unique_batch, seen, bloom["df"], bloom["params"]
                 )
