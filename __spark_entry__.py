@@ -457,6 +457,32 @@ def q_sim_ann_lsh(spark, sf):
     )
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs via bucketed self-join + exact
+    cosine verify. Planted twins (vec_id+10000, identical vectors) give a
+    known answer set: identical vectors share a signature bucket, so
+    recall on them is 1.0 by construction; the DuckDB oracle computes the
+    exact all-pairs ground truth over the same corpus (natural pairs max
+    out at cosine ~0.51, far below the 0.8 threshold)."""
+    from mediacrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return (
+        cosine_near_dup_pairs(corpus, threshold=0.8, dim=64)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "cosine",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_txt_langid(spark, sf):
     """Language-ID heuristic (stopword vote, argmax with lexicographic-max
     tie-break) — stopword inventory inlined into the DuckDB oracle."""
@@ -527,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
     }
@@ -743,6 +770,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS neighbor_id
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "dedup_embedding": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 50)
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "txt_langid": r"""
             WITH t AS (

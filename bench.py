@@ -56,6 +56,7 @@ def main() -> None:
             "dedup_exact_count",
             "dedup_minhash_lsh",
             "dedup_simhash",
+            "dedup_embedding",
             "sim_cosine_topk",
             "sim_ann_lsh",
             "txt_langid",

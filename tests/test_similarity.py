@@ -60,3 +60,42 @@ def test_ann_lsh_recall(spark, emb):
     total = sum(len(v) for v in want.values())
     recall = hits / total
     assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_cosine_near_dup_pairs_planted_twins(spark):
+    """Bucketed self-join near-dup: planted identical twins all found
+    (identical signature → same bucket, recall 1.0 by construction),
+    nothing else at threshold 0.8, exact match vs brute force."""
+    import pyspark.sql.functions as F
+
+    from mediacrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(corpus, threshold=0.8, dim=64).collect()
+    }
+    want_pairs = {(i, i + 10000) for i in range(30)}
+    assert set(got) == want_pairs
+    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+
+    # brute-force cross-check: no pair >= 0.8 outside the twins
+    from mediacrawler_spark.operators.similarity import _dot, _norm
+
+    a = corpus.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("c", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("c") >= 0.8)
+        .count()
+    )
+    assert brute == len(want_pairs)
