@@ -230,8 +230,12 @@ _KIND_MARKERS: tuple[tuple[str, str], ...] = (
 
 def infer_kind_py(url: str) -> str:
     """Python twin of :func:`infer_kind` — the oracle must dispatch bare
-    seeds identically (tests pin column/python agreement)."""
+    seeds identically (tests pin column/python agreement). The path is
+    truncated at '?'/'#' so a marker inside a query/fragment never flips
+    the kind — :func:`infer_kind` sees only parse_url(PATH), which
+    excludes both."""
     path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+    path = path.split("?", 1)[0].split("#", 1)[0]
     for marker, kind in _KIND_MARKERS:
         if marker in path:
             return kind

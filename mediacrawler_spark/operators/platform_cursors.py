@@ -82,7 +82,9 @@ def tieba_cursor(pn: Column, total_pages: Column) -> Column:
 
 
 def tieba_total_pages(sub_comment_count: Column, page_size: int = 10) -> Column:
-    """ceil(count / page_size), minimum 1 — tieba/client.py:269
-    ``sub_comment_count // 10 + 1`` loop bound."""
+    """floor(count / page_size) + 1 — tieba/client.py:269 loops
+    ``while sub_comment_count // 10 + 1 >= current_page``, so exact
+    multiples of the page size fetch one extra (usually empty) page;
+    count=0 still yields 1 page, matching the loop bound exactly."""
     n = F.coalesce(sub_comment_count.cast("long"), F.lit(0))
-    return F.greatest(F.ceil(n / F.lit(page_size)), F.lit(1))
+    return (F.floor(n / F.lit(page_size)) + F.lit(1)).cast("long")

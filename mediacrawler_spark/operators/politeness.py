@@ -101,6 +101,12 @@ def merge_quarantine(politeness: DataFrame, quarantine: DataFrame) -> DataFrame:
     )
 
 
+# Fallback winner-set cache for bare callers that pass no ``cache`` —
+# engines own their own slot (CrawlEngine._winner_cache) so interleaved
+# engines in one process never unpersist each other's live winner set.
+_DEFAULT_WINNER_CACHE: dict = {}
+
+
 def select_fetch_set(
     frontier: DataFrame,
     politeness: DataFrame,
@@ -108,6 +114,7 @@ def select_fetch_set(
     default_budget: int = 8,
     salt_splits: int = 8,
     winner_broadcast_max_rows: int = 2_000_000,
+    cache: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the due frontier into (selected, deferred) for this epoch.
 
@@ -173,13 +180,16 @@ def select_fetch_set(
 
     # rejoin: persist + count the winner set (budget-bounded by
     # construction) so the window chain is evaluated exactly once, then
-    # pick the join strategy from the TRUE winner count. The previous
-    # call's cache is dropped here — by then its consumers have run.
+    # pick the join strategy from the TRUE winner count. The CALLER's
+    # previous winner set is dropped here — by then its consumers have
+    # run. The cache slot is caller-scoped (ADVICE r02: a module-global
+    # slot let two interleaved engines unpersist each other's live set).
     winner_keys = winner_keys.persist()
-    prev = getattr(select_fetch_set, "_last_winners", None)
+    slot = _DEFAULT_WINNER_CACHE if cache is None else cache
+    prev = slot.get("winners")
     if prev is not None:
         prev.unpersist()
-    select_fetch_set._last_winners = winner_keys
+    slot["winners"] = winner_keys
     n_winners = winner_keys.count()
     if n_winners <= winner_broadcast_max_rows:
         # broadcast path: the big frontier never reshuffles (url_hash is

@@ -119,11 +119,13 @@ class CrawlOracle:
                 r["url"],
                 platform=r["platform"],
                 # bare-URL seeds: dispatch kind from URL shape, exactly as
-                # seeds_to_candidates does (zhihu judge_zhihu_url analog)
+                # seeds_to_candidates does (zhihu judge_zhihu_url analog).
+                # Infer on the CANONICAL url — the engine canonicalizes
+                # before infer_kind, so both twins see the same path.
                 kind=(
                     r["kind"]
                     if isinstance(r["kind"], str) and r["kind"]
-                    else infer_kind_py(r["url"])
+                    else infer_kind_py(canonicalize_one(r["url"]))
                 ),
                 priority=int(r["priority"]),
                 seq=int(r["seq"]),

@@ -120,3 +120,15 @@ def test_sentinel_stops_successor_emission(spark):
     succ = emit_successors(normalized, epoch=0).collect()
     urls = sorted(r["url"] for r in succ)
     assert urls == ["https://w.example/comments/n1?cursor=987"]
+
+
+def test_tieba_exact_multiple_fetches_extra_page(spark):
+    """ADVICE r02: the reference loop (tieba/client.py:269) is
+    ``while count // 10 + 1 >= current_page`` → count=10,20,… fetch
+    floor(count/10)+1 pages, one more than ceil(count/10)."""
+    rows = [(0,), (9,), (10,), (19,), (20,), (25,)]
+    df = spark.createDataFrame(rows, "sub_count long")
+    got = [r["p"] for r in df.select(
+        tieba_total_pages(F.col("sub_count")).alias("p")
+    ).collect()]
+    assert got == [1, 1, 2, 2, 3, 3]

@@ -160,3 +160,31 @@ def test_robots_expired_rule_ignored(spark):
         "host string, path_prefix string, allow boolean, crawl_delay double, expires_at long",
     )
     assert apply_robots(fr, robots, epoch_ts=200).count() == 1
+
+
+def test_winner_cache_is_caller_scoped(spark):
+    """ADVICE r02: two engines interleaving selections in one process must
+    each keep their own persisted winner set — a shared module-global slot
+    made caller A's second call unpersist caller B's live cache."""
+    rows = [(f"https://a/{i}", i * 977, "a", "detail", 0, i, 0) for i in range(30)]
+    fr_a = _frontier(spark, rows)
+    # B's frontier must be a DIFFERENT plan — Spark's CacheManager dedupes
+    # identical plans into one cache entry, which is not the engine case
+    fr_b = _frontier(spark, rows[:20])
+    pol = _pol(spark, {"a": 5})
+    cache_a, cache_b = {}, {}
+    sel_a, _ = select_fetch_set(fr_a, pol, epoch=0, cache=cache_a)
+    sel_b, _ = select_fetch_set(fr_b, pol, epoch=0, cache=cache_b)
+    # B's selection must NOT have evicted A's persisted winner set
+    assert cache_a["winners"].storageLevel.useMemory
+    assert cache_b["winners"].storageLevel.useMemory
+    # next call through A's slot drops only A's previous winners
+    prev_a = cache_a["winners"]
+    select_fetch_set(fr_a, pol, epoch=1, cache=cache_a)
+    assert not prev_a.storageLevel.useMemory
+    assert cache_b["winners"].storageLevel.useMemory
+    assert sorted(r["url"] for r in sel_a.collect()) == sorted(
+        r["url"] for r in sel_b.collect()
+    )
+    for c in (cache_a, cache_b):
+        c["winners"].unpersist()

@@ -171,6 +171,11 @@ def test_infer_kind_dispatch():
         "https://h0.example.test/user/u7?cursor=": "listing",
         "https://h0.example.test/creator/u7": "listing",
         "https://www.zhihu.example/p/12345": "detail",  # unknown → detail
+        # markers inside query/fragment must NOT flip the kind (ADVICE
+        # r02: parse_url(PATH) never sees them; the python twin must not
+        # either, or engine and oracle dispatch the same seed differently)
+        "https://h0.example.test/note/1#/user/x": "detail",
+        "https://h0.example.test/x?next=/user/y": "detail",
     }
     for url, want in cases.items():
         assert infer_kind_py(url) == want, url
@@ -189,6 +194,8 @@ def test_infer_kind_column_matches_python(spark):
         "https://h0.example.test/user/u7?cursor=",
         "https://h0.example.test/creator/u7",
         "https://x.y/weird/thing",
+        "https://h0.example.test/note/1#/user/x",
+        "https://h0.example.test/x?next=/user/y",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r["url"]: r["k"] for r in df.select("url", infer_kind(F.col("url")).alias("k")).collect()}
