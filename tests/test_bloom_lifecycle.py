@@ -39,7 +39,7 @@ def test_bloom_fill_rebuild_and_fpp_over_many_epochs(spark, tmp_path):
         bloom = eng._ensure_bloom(bloom, seen, per_epoch)
         if not capacities or capacities[-1] != bloom["capacity"]:
             capacities.append(bloom["capacity"])
-        bloom = eng._advance_bloom(bloom, batch, per_epoch)
+        bloom = eng._advance_bloom(bloom, batch, per_epoch, seen)
         seen = seen.unionByName(batch)
 
     total = n_epochs * per_epoch
@@ -74,7 +74,7 @@ def test_bloom_state_survives_catalog_reopen(spark, tmp_path):
     seen0 = _keys(spark, 0, 0)
     batch = _keys(spark, 0, 2000)
     bloom = eng._ensure_bloom(None, seen0, 2000)
-    bloom = eng._advance_bloom(bloom, batch, 2000)
+    bloom = eng._advance_bloom(bloom, batch, 2000, seen0)
     cat.commit(0, meta={"bloom": eng._bloom_meta(bloom)})
 
     eng2 = CrawlEngine(
@@ -86,4 +86,64 @@ def test_bloom_state_survives_catalog_reopen(spark, tmp_path):
     assert re["params"] == bloom["params"]
     probe = bloom_maybe_seen_udf(broadcast_bloom(re["df"], re["params"]))
     misses = batch.select(probe(F.col("url_hash")).alias("m")).filter("NOT m").count()
+    assert misses == 0
+
+
+def test_ensure_bloom_accounts_for_incoming_batch(spark, tmp_path):
+    """ADVICE r02 (medium): the headroom check must include the epoch's
+    incoming batch, not just n_inserted — otherwise a cuckoo table admits a
+    delta past its remaining headroom and overflows mid-insert."""
+    from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+
+    cfg = EngineConfig(seen_filter="cuckoo", bloom_shards=2)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_headroom"))
+    eng = CrawlEngine(spark, cat, None, None, None, cfg)
+    seen = _keys(spark, 0, 900)
+    bloom = eng._ensure_bloom(None, seen, 900)
+    cap0 = bloom["capacity"]
+    assert bloom["n_inserted"] == 900
+
+    # batch exactly one over the remaining headroom → proactive rebuild
+    n_batch = cap0 - 900 + 1
+    grown = eng._ensure_bloom(bloom, seen, n_batch)
+    assert grown["capacity"] > cap0
+    assert grown["capacity"] >= 900 + n_batch
+
+    # batch that fits → untouched (no rebuild churn)
+    assert eng._ensure_bloom(grown, seen, 1) is grown
+
+
+def test_cuckoo_overflow_recovers_by_rebuild(spark, tmp_path):
+    """Belt-and-braces for the same ADVICE item: even when headroom
+    accounting is defeated (capacity meta lies), a kick-chain overflow
+    during the delta insert rebuilds at doubled capacity from seen ∪ delta
+    instead of aborting the epoch."""
+    from mediacrawler_spark.operators.cuckoo import (
+        CuckooParams,
+        broadcast_cuckoo,
+        build_cuckoo_table,
+        cuckoo_maybe_seen_udf,
+    )
+
+    cfg = EngineConfig(seen_filter="cuckoo", bloom_shards=2)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_over"))
+    eng = CrawlEngine(spark, cat, None, None, None, cfg)
+    seen = _keys(spark, 0, 10)
+    tiny = CuckooParams(n_shards=2, n_buckets=16)  # 128 slots total
+    eng._stage_bloom(build_cuckoo_table(seen.select("url_hash"), tiny), 2, [0, 1])
+    bloom = {
+        "kind": "cuckoo",
+        "params": tiny,
+        "capacity": 1_000_000,  # lie: forces the insert to hit overflow
+        "n_inserted": 10,
+        "df": cat.read_staged_parts("bloom"),
+    }
+    batch = _keys(spark, 10, 1510)
+    grown = eng._advance_bloom(bloom, batch, 1500, seen)
+    assert grown["n_inserted"] == 1510
+    assert grown["params"].n_buckets > tiny.n_buckets
+    # recovery preserves zero-false-negatives over ALL keys (old + delta)
+    probe = cuckoo_maybe_seen_udf(broadcast_cuckoo(grown["df"], grown["params"]))
+    every = seen.unionByName(batch)
+    misses = every.select(probe(F.col("url_hash")).alias("m")).filter("NOT m").count()
     assert misses == 0

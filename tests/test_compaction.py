@@ -101,3 +101,24 @@ def test_resume_after_compaction(spark, tmp_path):
 
     _, cat_plain = _run(spark, u, str(tmp_path / "plain"), compact_after=10_000)
     assert _state(eng2.catalog) == _state(cat_plain)
+
+
+def test_compact_refuses_with_pending_stages(spark, tmp_path):
+    """ADVICE r02: compact_appends commits a metadata swap — running it
+    mid-epoch would publish half-finished pending state, so it must refuse
+    outright while anything is staged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_guard"))
+    df = spark.range(5).select(F.col("id").alias("x"))
+    for e in range(3):
+        cat.stage_append(df, "t", e)
+    cat.commit(2)
+    cat.stage(df, "other")  # mid-epoch: a pending replace-table stage
+    with pytest.raises(RuntimeError, match="half-finished"):
+        cat.compact_appends("t", max_dirs=1)
+    cat.commit(3)
+    assert cat.compact_appends("t", max_dirs=1)  # clean state: compacts fine
