@@ -436,6 +436,36 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+def q_dedup_simhash_h3(spark, sf):
+    """Hamming≤3 SimHash pairs over an oracle-reproducible token hash
+    (VERDICT r02 item 4: the distance-3 pigeonhole path was pytest-only).
+    The 60-bit md5-prefix hash (md5_token_hash60) is recomputable in pure
+    DuckDB SQL, so the oracle independently rebuilds EVERY simhash from
+    the same token sets and takes the exact all-pairs bit_count(xor)≤3
+    ground truth; the 4×15-bit pigeonhole join must find exactly that set
+    (bucket cap lifted at oracle scale so recall is exact by
+    construction — production keeps the cap, a documented trade-off)."""
+    from mediacrawler_spark.operators.text_dedup import (
+        md5_token_hash60,
+        simhash_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return (
+        simhash_pairs(
+            d,
+            max_hamming=3,
+            max_bucket=1 << 20,
+            n_bits=60,
+            token_hash=md5_token_hash60,
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_sim_ann_lsh(spark, sf):
     """LSH-bucketed ANN, oracle-checked via planted twin queries: each
     query vector is an exact copy of a corpus vector (vec_id + 10000), so
@@ -552,11 +582,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_h3": q_dedup_simhash_h3,
         "sim_ann_lsh": q_sim_ann_lsh,
         "dedup_embedding": q_dedup_embedding,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
     }
+
+
+def _simhash_h3_oracle_sql() -> str:
+    """Exact all-pairs hamming≤3 ground truth, recomputed from scratch:
+    token sets → 60-bit md5-prefix hash per token (digit-by-digit hex
+    parse, identical to Spark's conv(substr(md5,1,15),16,10)) → 60 signed
+    bit-sums → simhash → bit_count(xor) over every pair. O(n²) is fine at
+    oracle scale; the point is independence from the pigeonhole path."""
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h16,{i + 1},1))-1)*{16 ** (14 - i)}"
+        for i in range(15)
+    )
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 unnest(list_distinct(list_filter(
+                     string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x <> ''))) AS tok
+          FROM documents),
+        h AS (SELECT id, ({h60})::BIGINT AS th
+              FROM (SELECT id, md5(tok) AS h16 FROM toks)),
+        bits AS (SELECT id, {bitsums} FROM h GROUP BY id),
+        sh AS (SELECT id, ({recombine})::BIGINT AS s FROM bits)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+        ORDER BY id_a, id_b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -766,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.ts = b.ts AND a.id < b.id
             ORDER BY id_a, id_b
         """,
+        "dedup_simhash_h3": _simhash_h3_oracle_sql(),
         "sim_ann_lsh": """
             SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS neighbor_id

@@ -61,6 +61,7 @@ def main() -> None:
             "sim_ann_lsh",
             "txt_langid",
             "media_decode",
+            "dedup_simhash_h3",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -81,6 +82,13 @@ def main() -> None:
         "sf": sf_val,
         "frontier": fr,
         "cpus": cpus,
+        # bumped whenever a query's DEFINITION changes (verify-then-report
+        # rewrites etc.), so cross-round per-query comparison is only valid
+        # at equal query_rev (VERDICT r02 "What's wrong" #3: the r01→r02
+        # dedup_simhash/sim_ann_lsh row-count shift was a silent rewrite).
+        # rev history: 1 = r01 originals; 2 = r02 verify-then-report
+        # rewrites; 3 = r03 (adds dedup_simhash_h3; others unchanged).
+        "query_rev": 3,
     }
     if asm is not None:
         out["doc_assembly"] = asm

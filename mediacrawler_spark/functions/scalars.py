@@ -149,6 +149,47 @@ def unpack_interactions(col: Column, key: str) -> Column:
     return F.element_at(m, F.lit(key))
 
 
+# raw creator payload shape (reference: xhs creator detail JSON consumed by
+# store/xhs/__init__.py:160-209 save_creator)
+CREATOR_JSON_SCHEMA = (
+    "basicInfo struct<nickname:string, gender:int, images:string,"
+    " `desc`:string, ipLocation:string>,"
+    " interactions array<struct<type:string,count:string>>,"
+    " tags array<struct<tagType:string,name:string>>"
+)
+
+
+def creator_record(creator_json: Column, user_id: Column, last_modify_ts: Column) -> Column:
+    """The creator-profile row projection, field-for-field with the
+    reference's save_creator (store/xhs/__init__.py:160-209): basicInfo
+    passthrough, follows/fans/interaction unpacked from the interactions
+    list (A4), gender label (F15), and ``tag_list`` as a {tagType: name}
+    JSON object (reference json.dumps; Spark's to_json emits the same
+    object without the cosmetic ': '/', ' spacing). ``last_modify_ts``
+    replaces the reference's wall-clock get_current_timestamp for replay
+    determinism."""
+    c = F.from_json(creator_json, CREATOR_JSON_SCHEMA)
+    info = c["basicInfo"]
+    inter = c["interactions"]
+    return F.struct(
+        user_id.alias("user_id"),
+        info["nickname"].alias("nickname"),
+        gender_label(info["gender"]).alias("gender"),
+        info["images"].alias("avatar"),
+        info["desc"].alias("desc"),
+        info["ipLocation"].alias("ip_location"),
+        unpack_interactions(inter, "follows").alias("follows"),
+        unpack_interactions(inter, "fans").alias("fans"),
+        unpack_interactions(inter, "interaction").alias("interaction"),
+        F.to_json(
+            F.map_from_entries(
+                F.transform(c["tags"], lambda t: F.struct(t["tagType"], t["name"]))
+            )
+        ).alias("tag_list"),
+        last_modify_ts.alias("last_modify_ts"),
+    )
+
+
 def comma_join_refs(col: Column, field: str | None = None) -> Column:
     """P5: the reference flattens nested lists into comma-joined strings at
     the sink (image_list ','.join — store/xhs/__init__.py:105-106). For an

@@ -202,16 +202,37 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- simhash ----
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: explode distinct tokens, one hash-aggregate
-    with 64 signed bit-sums, recombined to a long. All JVM-side."""
+def md5_token_hash60(tok: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix.
+
+    Exists for ORACLE CHECKABILITY: DuckDB reproduces
+    ``conv(substr(md5(tok),1,15),16,10)`` exactly in pure SQL, so a
+    simhash built on it has a recomputable ground truth (the hamming≤3
+    property oracle). xxhash64 stays the production default — one JVM
+    hash pass, no hex round-trip."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """n-bit SimHash per doc: explode distinct tokens, one hash-aggregate
+    with n signed bit-sums, recombined to a long. All JVM-side.
+    ``token_hash`` maps a token Column to an int64 Column (default Spark
+    xxhash64; see :func:`md5_token_hash60`)."""
+    hash_fn = token_hash or F.xxhash64
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     bit = lambda b: F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
     aggs = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}") for b in range(64)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(n_bits)
     ]
     sums = toks.groupBy("id").agg(*aggs)
     sim = reduce(
@@ -220,7 +241,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                 F.lit(0).cast("long")
             )
         ),
-        range(1, 64),
+        range(1, n_bits),
         F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
     return sums.select(F.col("id").alias(id_col), sim.alias("simhash"))
@@ -232,13 +253,17 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 128,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole: split 64 bits into 4 chunks of 16; distance ≤ 3 ⇒ at least
+    Pigeonhole: split n_bits into 4 chunks; distance ≤ 3 ⇒ at least
     one chunk identical → candidate generation is 4 equi-joins (one per
     chunk), then exact verify with bit_count(xor)."""
-    s = simhash(df, id_col, text_col)
+    chunk_bits = n_bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    s = simhash(df, id_col, text_col, n_bits=n_bits, token_hash=token_hash)
     chunks = s.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
@@ -247,8 +272,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("ck"),
                     )
                     for c in range(4)

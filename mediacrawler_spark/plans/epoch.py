@@ -128,6 +128,7 @@ class CrawlEngine:
         robots: DataFrame,
         politeness: DataFrame,
         config: EngineConfig | None = None,
+        fetch_fn=None,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -135,6 +136,10 @@ class CrawlEngine:
         self.robots = robots
         self.politeness = politeness
         self.cfg = config or EngineConfig()
+        # pluggable fetch stage (selected, pages) -> fetched DataFrame:
+        # default is the corpus-join responder; production passes a
+        # fetch_live wrapper (sources/fetch.py) — same stage contract
+        self.fetch_fn = fetch_fn or fetch_via_corpus
         # engine-owned winner-set cache slot: interleaved engines in one
         # process must not unpersist each other's live winner DataFrame
         self._winner_cache: dict = {}
@@ -434,7 +439,7 @@ class CrawlEngine:
             )
 
             # 3. fetch — materialized once; everything downstream reads it
-            fetched = fetch_via_corpus(selected, self.pages)
+            fetched = self.fetch_fn(selected, self.pages)
             self.catalog.stage_append(fetched, "fetched", epoch)
             fetched = self.catalog.read_staged("fetched", epoch)
             n_fetched = self.catalog.staged_append_rows("fetched", epoch)

@@ -80,3 +80,58 @@ def test_normalize_json_text(spark):
         _one(spark, S.normalize_json_text, '{"x":undefined,"y":1}')
         == '{"x":null,"y":1}'
     )
+
+
+def test_creator_record_golden(spark):
+    """Golden creator-profile projection (VERDICT r02 item 8), mirroring
+    store/xhs/__init__.py:160-209 save_creator on a reference-shaped
+    payload: basicInfo passthrough, interactions unpack with a missing
+    type defaulting like the reference's initial 0... = None-absent (we
+    surface NULL), gender 1→女 / 0→男, tag_list as {tagType: name}."""
+    import json
+
+    payload = {
+        "basicInfo": {
+            "nickname": "山里人",
+            "gender": 1,
+            "images": "https://img.example/avatar/u1.jpg",
+            "desc": "记录生活",
+            "ipLocation": "浙江",
+        },
+        "interactions": [
+            {"type": "follows", "count": "128"},
+            {"type": "fans", "count": "3.4万"},
+            {"type": "interaction", "count": "12001"},
+        ],
+        "tags": [
+            {"tagType": "profession", "name": "摄影博主"},
+            {"tagType": "location", "name": "杭州"},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("user-001", json.dumps(payload, ensure_ascii=False))], "uid string, raw string"
+    )
+    rec = df.select(
+        S.creator_record(F.col("raw"), F.col("uid"), F.lit(1700000000)).alias("r")
+    ).collect()[0]["r"]
+    assert rec["user_id"] == "user-001"
+    assert rec["nickname"] == "山里人"
+    assert rec["gender"] == "女"
+    assert rec["avatar"] == "https://img.example/avatar/u1.jpg"
+    assert rec["desc"] == "记录生活"
+    assert rec["ip_location"] == "浙江"
+    assert rec["follows"] == "128"
+    assert rec["fans"] == "3.4万"
+    assert rec["interaction"] == "12001"
+    assert json.loads(rec["tag_list"]) == {"profession": "摄影博主", "location": "杭州"}
+    assert rec["last_modify_ts"] == 1700000000
+
+    # male + missing interaction type → NULL count (reference leaves 0)
+    p2 = dict(payload)
+    p2["basicInfo"] = {**payload["basicInfo"], "gender": 0}
+    p2["interactions"] = [{"type": "fans", "count": "5"}]
+    df2 = spark.createDataFrame([("u2", json.dumps(p2, ensure_ascii=False))], "uid string, raw string")
+    r2 = df2.select(
+        S.creator_record(F.col("raw"), F.col("uid"), F.lit(0)).alias("r")
+    ).collect()[0]["r"]
+    assert r2["gender"] == "男" and r2["fans"] == "5" and r2["follows"] is None
