@@ -182,6 +182,23 @@ class SnapshotCatalog:
             return None
         return self.spark.read.parquet(*self._ptable_paths(ent, table))
 
+    def read_parts(self, table: str, parts: list[int]) -> DataFrame | None:
+        """Read ONLY the given partitions of the committed partitioned
+        table — directory-level partition pruning (the epoch's
+        delta-rewrite input never scans clean partitions). Partitions
+        with no pin are simply absent; returns None if none of the
+        requested partitions exist."""
+        ent = self._ptables.get(table)
+        if not ent:
+            return None
+        want = {str(int(k)) for k in parts}
+        sub = {k: v for k, v in ent["parts"].items() if k in want}
+        if not sub:
+            return None
+        return self.spark.read.parquet(
+            *self._ptable_paths({"n": ent["n"], "parts": sub}, table)
+        )
+
     def ptable_meta(self, table: str) -> dict | None:
         """Committed pin map of a partitioned table ({'n': P, 'parts': …})."""
         ent = self._ptables.get(table)
