@@ -163,6 +163,26 @@ def test_epoch_writes_are_delta_not_full_state(spark, tmp_path, seen_filter):
     # pins must span several distinct versions — old partitions not rewritten
     assert len({int(v) for v in pins[-1].values()}) >= 3
 
+    # BYTES criterion: a later epoch's frontier version dir must be a small
+    # fraction of the table's total footprint (the old full-rewrite wrote
+    # ~all of it every epoch)
+    def _du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    fdir = os.path.join(root, "frontier")
+    per_version = {
+        int(e.split("=", 1)[1]): _du(os.path.join(fdir, e))
+        for e in os.listdir(fdir)
+        if e.startswith("v=")
+    }
+    table_bytes = sum(per_version.values())
+    late_versions = sorted(per_version)[-3:]
+    for v in late_versions:
+        assert per_version[v] < table_bytes / 2, (v, per_version, table_bytes)
+
     # e2e equivalence on this universe: same seen set as the oracle
     o = CrawlOracle(
         uni.pages,
