@@ -320,18 +320,49 @@ class SnapshotCatalog:
                 problems.append(f"lineage fetch_count {lin} != fetch_log rows {logn}")
         return problems
 
-    def compact_appends(self, table: str, max_dirs: int = 32) -> bool:
-        """Iceberg ``rewrite_data_files`` analog: when an append-only table
-        has accumulated more than ``max_dirs`` per-epoch directories,
-        rewrite them into ONE compacted dir and commit the swap atomically.
+    def _merge_append_dirs(self, table: str, labels: list[str]) -> str:
+        """Rewrite the given append dirs into one new compacted dir and
+        return its label (unique per table even within one epoch)."""
+        epoch = self.committed_epoch()
+        existing = {str(x) for x in self._appends.get(table, [])}
+        n = 0
+        while (label := f"c{epoch}_{n}") in existing:
+            n += 1
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, table, f"e={lab}") for lab in labels]
+        )
+        df.write.mode("overwrite").parquet(os.path.join(self.root, table, f"e={label}"))
+        return label
 
-        At 10^4+ epochs the per-epoch layout means 10^4 small parquet dirs
-        per table — listing and tiny-file overhead dominate reads. The
-        rewrite preserves content exactly (row order is not part of any
-        table's contract). Must only run between epochs: the metadata swap
-        is a commit, so pending (uncommitted) stages would be published
-        half-finished — refused outright to preserve crash atomicity.
-        Returns True if a compaction ran."""
+    def _append_dir_bytes(self, table: str, label: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(
+            os.path.join(self.root, table, f"e={label}")
+        ):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    def compact_appends(
+        self, table: str, max_dirs: int = 32, tier_fanout: int = 4
+    ) -> bool:
+        """Iceberg ``rewrite_data_files`` analog, SIZE-TIERED: when an
+        append-only table has accumulated more than ``max_dirs`` per-epoch
+        directories, merge them into one compacted dir; when compacted
+        dirs themselves pile up past ``tier_fanout``, merge the
+        ``tier_fanout`` smallest of those.
+
+        Tiering matters at 10^4+ epochs: merging EVERYTHING each time
+        rewrites the whole (ever-growing) table every ~``max_dirs`` epochs
+        — O(E²) cumulative I/O, the same write-amplification class as the
+        full-state frontier rewrite. Smallest-first tiered merges give
+        geometric dir growth, so each row is rewritten O(log E) times
+        total, while dir count stays bounded by max_dirs + tier_fanout.
+
+        The rewrite preserves content exactly (row order is not part of
+        any table's contract). Must only run between epochs: the metadata
+        swap is a commit, so pending (uncommitted) stages would be
+        published half-finished — refused outright to preserve crash
+        atomicity. Returns True if a compaction ran."""
         if self._pending or self._pending_appends or self._pending_parts:
             raise RuntimeError(
                 "compact_appends with uncommitted staged state would publish "
@@ -340,14 +371,19 @@ class SnapshotCatalog:
                 f"pending_appends={sorted(self._pending_appends)})"
             )
         labels = [str(x) for x in self._appends.get(table, [])]
-        if len(labels) <= max_dirs:
+        small = [lab for lab in labels if not lab.startswith("c")]
+        if len(small) <= max_dirs:
             return False
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, table, f"e={lab}") for lab in labels]
-        )
-        label = f"c{self.committed_epoch()}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, table, f"e={label}"))
-        self._appends[table] = [label]
+        compacted = [lab for lab in labels if lab.startswith("c")]
+        compacted.append(self._merge_append_dirs(table, small))
+        self._appends[table] = list(compacted)
+        while len(compacted) > tier_fanout:
+            by_size = sorted(compacted, key=lambda lab: self._append_dir_bytes(table, lab))
+            tier, rest = by_size[:tier_fanout], by_size[tier_fanout:]
+            merged = self._merge_append_dirs(table, tier)
+            compacted = rest + [merged]
+            self._appends[table] = list(compacted)
+        self._appends[table] = sorted(compacted)
         self.commit(self.committed_epoch())  # same epoch: pure metadata swap
         return True
 

@@ -122,3 +122,62 @@ def test_compact_refuses_with_pending_stages(spark, tmp_path):
         cat.compact_appends("t", max_dirs=1)
     cat.commit(3)
     assert cat.compact_appends("t", max_dirs=1)  # clean state: compacts fine
+
+
+def test_compact_appends_tiered_avoids_full_rewrites(spark, tmp_path):
+    """Size-tiered compaction: merging EVERYTHING on every trigger
+    rewrites the whole table every ~max_dirs epochs (O(E²) cumulative).
+    Tiered merges must (a) leave earlier compacted dirs untouched until a
+    tier merge, (b) bound dir counts, (c) preserve content exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    root = str(tmp_path / "snap_tier")
+    cat = SnapshotCatalog(spark, root)
+
+    def append_epochs(lo, hi):
+        for e in range(lo, hi):
+            cat.stage_append(
+                spark.range(e * 10, (e + 1) * 10).select(F.col("id").alias("x")),
+                "t",
+                e,
+            )
+            cat.commit(e)
+
+    def content_ok(hi):
+        got = sorted(r["x"] for r in cat.read("t").collect())
+        assert got == list(range(hi * 10)), (len(got), hi * 10)
+
+    append_epochs(0, 5)
+    assert cat.compact_appends("t", max_dirs=4, tier_fanout=4)
+    first_c = [lab for lab in cat._appends["t"] if lab.startswith("c")]
+    assert len(first_c) == 1
+    first_c = first_c[0]
+    first_c_mtime = os.path.getmtime(os.path.join(root, "t", f"e={first_c}"))
+    content_ok(5)
+
+    # second batch: compaction must NOT rewrite the first compacted dir
+    append_epochs(5, 10)
+    assert cat.compact_appends("t", max_dirs=4, tier_fanout=4)
+    labs = list(cat._appends["t"])
+    assert first_c in labs, labs
+    assert os.path.getmtime(os.path.join(root, "t", f"e={first_c}")) == first_c_mtime
+    assert len([x for x in labs if x.startswith("c")]) == 2
+    content_ok(10)
+
+    # keep going until a tier merge fires (compacted count would exceed 4)
+    hi = 10
+    for _ in range(4):
+        append_epochs(hi, hi + 5)
+        hi += 5
+        cat.compact_appends("t", max_dirs=4, tier_fanout=4)
+        content_ok(hi)
+    c_count = len([x for x in cat._appends["t"] if x.startswith("c")])
+    assert c_count <= 4, cat._appends["t"]
+    assert not cat.fsck()
+    # expiry collects the swapped-out small dirs; content still intact
+    cat.expire_versions(keep_last=2)
+    content_ok(hi)
