@@ -436,6 +436,54 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+def q_creator_record(spark, sf):
+    """Creator-profile projection end-to-end through the raw-JSON path
+    (from_json → interactions unpack A4 → gender label F15 → tag_list
+    to_json), reference save_creator field-for-field
+    (store/xhs/__init__.py:160-209). The payload is BUILT deterministically
+    from the documents table, so DuckDB derives the same output fields
+    directly from the base columns — the projection semantics (struct
+    parse, list unpack by type, gender mapping, {tagType:name} JSON) are
+    what the hash compare pins."""
+    from mediacrawler_spark.functions.scalars import creator_record
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    sid = F.col("doc_id").cast("string")
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.concat(F.lit("u"), sid).alias("nickname"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("gender"),
+                F.concat(F.lit("https://img/"), sid).alias("images"),
+                F.col("source").alias("desc"),
+                F.col("lang").alias("ipLocation"),
+            ).alias("basicInfo"),
+            F.array(
+                F.struct(
+                    F.lit("follows").alias("type"),
+                    (F.col("doc_id") * 7).cast("string").alias("count"),
+                ),
+                F.struct(
+                    F.lit("fans").alias("type"),
+                    (F.col("doc_id") * 11).cast("string").alias("count"),
+                ),
+                F.struct(
+                    F.lit("interaction").alias("type"),
+                    (F.col("doc_id") * 13).cast("string").alias("count"),
+                ),
+            ).alias("interactions"),
+            F.array(
+                F.struct(
+                    F.lit("profession").alias("tagType"),
+                    F.concat(F.lit("n"), sid).alias("name"),
+                )
+            ).alias("tags"),
+        )
+    )
+    rec = creator_record(payload, sid, F.lit(1_700_000_000).cast("bigint"))
+    return d.select(rec.alias("r")).select("r.*").orderBy("user_id")
+
+
 def q_dedup_simhash_h3(spark, sf):
     """Hamming≤3 SimHash pairs over an oracle-reproducible token hash
     (VERDICT r02 item 4: the distance-3 pigeonhole path was pytest-only).
@@ -583,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
+        "creator_record": q_creator_record,
         "sim_ann_lsh": q_sim_ann_lsh,
         "dedup_embedding": q_dedup_embedding,
         "txt_langid": q_txt_langid,
@@ -834,6 +883,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "dedup_simhash_h3": _simhash_h3_oracle_sql(),
+        "creator_record": """
+            SELECT CAST(doc_id AS VARCHAR) AS user_id,
+                   'u' || CAST(doc_id AS VARCHAR) AS nickname,
+                   CASE WHEN doc_id % 3 = 1 THEN '女'
+                        WHEN doc_id % 3 = 0 THEN '男'
+                        ELSE '' END AS gender,
+                   'https://img/' || CAST(doc_id AS VARCHAR) AS avatar,
+                   source AS "desc",
+                   lang AS ip_location,
+                   CAST(doc_id * 7 AS VARCHAR) AS follows,
+                   CAST(doc_id * 11 AS VARCHAR) AS fans,
+                   CAST(doc_id * 13 AS VARCHAR) AS interaction,
+                   '{"profession":"n' || CAST(doc_id AS VARCHAR) || '"}' AS tag_list,
+                   CAST(1700000000 AS BIGINT) AS last_modify_ts
+            FROM documents WHERE doc_id < 50 ORDER BY user_id
+        """,
         "sim_ann_lsh": """
             SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS neighbor_id
