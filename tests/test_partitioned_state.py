@@ -196,3 +196,79 @@ def test_epoch_writes_are_delta_not_full_state(spark, tmp_path, seen_filter):
     ores = o.run(uni.seeds, max_epochs=6)
     got = {r["url"] for r in cat.read("seen").collect()}
     assert got == ores.seen
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _ops(draw):
+    """A short random life of a ptable: partial rewrites over 4 partitions
+    with occasional commits/reopens/expiries."""
+    n_steps = draw(st.integers(min_value=3, max_value=7))
+    steps = []
+    for _ in range(n_steps):
+        kind = draw(st.sampled_from(["stage", "stage", "stage", "commit", "reopen", "expire"]))
+        if kind == "stage":
+            dirty = sorted(draw(st.sets(st.integers(0, 3), min_size=1, max_size=4)))
+            rows = {
+                k: draw(st.lists(st.integers(0, 99), max_size=4, unique=True))
+                for k in dirty
+            }
+            steps.append(("stage", dirty, rows))
+        else:
+            steps.append((kind,))
+    return steps
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ops())
+def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
+    """Model check: an arbitrary interleaving of partial stage_parts,
+    commits, crash-reopens and expiries must always read back exactly what
+    a python dict-of-partitions model predicts (committed view = model at
+    last commit; reopen discards pending)."""
+    root = str(tmp_path_factory.mktemp("snap_hyp"))
+    cat = SnapshotCatalog(spark, root)
+    model: dict[int, list[int]] = {}     # committed
+    pending: dict[int, list[int]] = {}   # staged-on-top view
+
+    def make_df(rows_by_part):
+        data = [
+            (int(v * 7 + k), int(k))
+            for k, vals in rows_by_part.items()
+            for v in vals
+        ]
+        return spark.createDataFrame(data or [], "val long, _part int")
+
+    for step in ops:
+        if step[0] == "stage":
+            _, dirty, rows = step
+            cat.stage_parts(make_df(rows), "t", 4, dirty)
+            if not pending:
+                pending = dict(model)
+            for k in dirty:
+                vals = [v * 7 + k for v in rows.get(k, [])]
+                if vals:
+                    pending[k] = vals
+                else:
+                    pending.pop(k, None)
+        elif step[0] == "commit":
+            cat.commit(cat.committed_epoch() + 1)
+            if pending:
+                model = pending
+            pending = {}
+        elif step[0] == "reopen":
+            cat = SnapshotCatalog(spark, root)
+            pending = {}
+        elif step[0] == "expire":
+            if not (cat._pending or cat._pending_appends or cat._pending_parts):
+                cat.expire_versions(keep_last=2)
+
+    # committed view == model
+    df = cat.read("t")
+    got = sorted(r["val"] for r in df.collect()) if df is not None else []
+    want = sorted(v for vals in model.values() for v in vals)
+    assert got == want, (got, want, ops)
+    assert cat.fsck() == []
