@@ -341,6 +341,57 @@ def q_window_5min(spark, sf):
     )
 
 
+def q_stream_window_counts(spark, sf):
+    """§2.11 streaming, hard-oracled: the same tumbling event-time window
+    count as window_5min but executed by Structured Streaming — file
+    source → watermark → groupBy(window) → memory sink (complete mode,
+    availableNow trigger). The final materialized table must equal the
+    static/DuckDB answer, pinning that the streaming face's event-time
+    semantics agree with batch (streaming/frontier_stream.py is built on
+    the same shape)."""
+    sch = spark.read.parquet(f"{sf}/events.parquet").schema
+    name = "stream_window_counts_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # the file-stream source needs a DIRECTORY; the testdata table is one
+    # parquet file — stage a stable symlink dir (idempotent per sf)
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/mcs_stream_src_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    src = spark.readStream.schema(sch).parquet(src_dir)
+    # watermarks require TIMESTAMP (not NTZ); the cast keeps wall-clock
+    # values (session tz round-trips through window + date_format)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 # ---- training-data pipeline ops -------------------------------------------
 def q_dedup_exact_count(spark, sf):
     """Exact dedup: distinct normalized-text fingerprints (md5 for
@@ -624,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_union": q_setop_union,
         "sessionize": q_sessionize,
         "window_5min": q_window_5min,
+        "stream_window_counts": q_stream_window_counts,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
         "txt_fingerprint": q_txt_fingerprint,
@@ -814,6 +866,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY user_id
         """,
         "window_5min": """
+            SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M') AS w_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+        """,
+        "stream_window_counts": """
             SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M') AS w_start,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
