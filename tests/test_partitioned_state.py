@@ -106,7 +106,7 @@ def test_expire_keeps_pinned_leaves_across_versions(spark, tmp_path):
     assert cat.fsck() == []
 
 
-@pytest.mark.parametrize("seen_filter", ["bloom"])
+@pytest.mark.parametrize("seen_filter", ["bloom", "cuckoo"])
 def test_epoch_writes_are_delta_not_full_state(spark, tmp_path, seen_filter):
     """The 'done' criterion: per-epoch frontier/filter writes touch only
     dirty partitions/shards. Build a frontier much wider than any epoch's
