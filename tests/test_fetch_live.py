@@ -19,8 +19,16 @@ import pandas as pd
 import pytest
 from pyspark.sql import types as T
 
+from mediacrawler_spark.fixtures import UniverseParams, build_universe
 from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
-from mediacrawler_spark.schemas import PAGE_COMMENT_TYPE, PAGE_ITEM_TYPE
+from mediacrawler_spark.schemas import (
+    PAGE_COMMENT_TYPE,
+    PAGE_ITEM_TYPE,
+    PAGES_SCHEMA,
+    POLITENESS_SCHEMA,
+    ROBOTS_SCHEMA,
+    SEEDS_SCHEMA,
+)
 from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
 from mediacrawler_spark.sources.fetch import fetch_live
 
@@ -96,23 +104,39 @@ def make_live_fetch_fn(pages_pdf: pd.DataFrame):
 
 
 @pytest.fixture(scope="module")
-def both_runs(spark, universe, udfs, tmp_path_factory):
+def both_runs(spark, tmp_path_factory):
+    # a dedicated SMALL universe: the contract needs retries, comment
+    # chains and multi-host politeness, not the big shared corpus — two
+    # full crawls on the 60-note universe tripled this module's runtime
+    uni = build_universe(
+        UniverseParams(
+            n_notes=20,
+            n_hosts=4,
+            n_keywords=2,
+            search_pages_per_keyword=1,
+            max_comments_per_note=25,
+        )
+    )
+    frames = dict(
+        pages=spark.createDataFrame(uni.pages, PAGES_SCHEMA),
+        robots=spark.createDataFrame(uni.robots, ROBOTS_SCHEMA),
+        politeness=spark.createDataFrame(uni.politeness, POLITENESS_SCHEMA),
+    )
+    seeds = spark.createDataFrame(uni.seeds, SEEDS_SCHEMA)
     runs = {}
     for mode in ("corpus", "live"):
         root = str(tmp_path_factory.mktemp(f"snap_fetch_{mode}"))
-        fetch_fn = (
-            make_live_fetch_fn(universe.pages) if mode == "live" else None
-        )
+        fetch_fn = make_live_fetch_fn(uni.pages) if mode == "live" else None
         eng = CrawlEngine(
             spark,
             SnapshotCatalog(spark, root),
-            udfs["pages"],
-            udfs["robots"],
-            udfs["politeness"],
+            frames["pages"],
+            frames["robots"],
+            frames["politeness"],
             CFG,
             fetch_fn=fetch_fn,
         )
-        eng.run(udfs["seeds"])
+        eng.run(seeds)
         runs[mode] = eng
     return runs
 
