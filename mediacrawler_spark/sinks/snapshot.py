@@ -164,6 +164,16 @@ class SnapshotCatalog:
             ent = src.get(table)
             if ent and ent["parts"]:
                 cands.append(max(int(x) for x in ent["parts"].values()))
+        # strict monotonicity even past versions nothing pins anymore (a
+        # fully-drained stage leaves an unpinned v dir until expiry; never
+        # reuse its number)
+        tdir = os.path.join(self.root, table)
+        if os.path.isdir(tdir):
+            cands.extend(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(tdir)
+                if e.startswith("v=")
+            )
         return max(cands) + 1
 
     def _ptable_paths(self, ent: dict, table: str) -> list[str]:
