@@ -37,6 +37,13 @@ _SLOTS = 4
 _MAX_KICKS = 500
 _FP_MUL = np.uint64(0x5BD1E995)
 
+# Sentinel token for kick-chain overflow. The epoch loop's recovery path
+# (plans/epoch.py _advance_bloom) matches on THIS token in the Py4J-wrapped
+# executor exception — never on prose wording, which could drift or appear
+# coincidentally in an unrelated stack (ADVICE r03 low). Both sides import
+# the constant and a test pins the link (tests/test_cuckoo.py).
+CUCKOO_OVER_CAPACITY = "CUCKOO_OVER_CAPACITY"
+
 
 @dataclass(frozen=True)
 class CuckooParams:
@@ -103,8 +110,8 @@ def _insert_keys(state: np.ndarray, url_hash: np.ndarray, n_buckets: int) -> Non
                 break
         else:
             raise RuntimeError(
-                "cuckoo filter over capacity — resize (capacity policy should "
-                "have rebuilt before this point)"
+                f"{CUCKOO_OVER_CAPACITY}: cuckoo filter over capacity — resize "
+                "(capacity policy should have rebuilt before this point)"
             )
 
 

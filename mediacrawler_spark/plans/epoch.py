@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.operators.cuckoo import (
+    CUCKOO_OVER_CAPACITY,
     CuckooParams,
     build_cuckoo_table,
     dedup_against_seen_cuckoo,
@@ -295,7 +296,7 @@ class CrawlEngine:
             try:
                 self._stage_bloom(merged, params.n_shards, dirty_shards)
             except Exception as e:  # Py4J wraps the executor RuntimeError
-                if "over capacity" not in str(e):
+                if CUCKOO_OVER_CAPACITY not in str(e):
                     raise
                 capacity = 2 * max(
                     bloom["capacity"], bloom["n_inserted"] + n_admitted

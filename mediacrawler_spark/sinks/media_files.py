@@ -19,6 +19,7 @@ mirroring the reference's overwrite-on-refetch behavior.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 from collections.abc import Iterator
@@ -33,15 +34,26 @@ _SAFE = re.compile(r"[^A-Za-z0-9._-]+")
 
 def _safe_name(s: str, max_len: int = 120) -> str:
     """Filesystem-safe name from a ref/URL; keeps the tail (where the
-    reference's extension_file_name lives) when truncating."""
+    reference's extension_file_name lives) when truncating. NOT injective
+    — use only for grouping subdirs, never for file names."""
     cleaned = _SAFE.sub("_", s).strip("_")
     return cleaned[-max_len:] if len(cleaned) > max_len else cleaned or "blob"
+
+
+def _file_name(s: str, max_len: int = 120) -> str:
+    """Injective file name: sanitized tail + 8 hex of md5(raw ref).
+    Sanitization alone can collide ('a/b' vs 'a_b'; 120-char shared
+    tails), silently overwriting one blob with another while the manifest
+    reports both as written (ADVICE r03 low) — the hash suffix makes the
+    path a pure AND injective function of the ref."""
+    tag = hashlib.md5(s.encode("utf-8")).hexdigest()[:8]
+    return f"{_safe_name(s, max_len)}~{tag}"
 
 
 def write_media_files(
     media: DataFrame, root: str, subdir_col: str | None = None
 ) -> DataFrame:
-    """Write each blob row to ``<root>/<subdir>/<safe(media_ref)>``.
+    """Write each blob row to ``<root>/<subdir>/<safe(ref)>~<md5[:8]>``.
 
     ``subdir_col`` names the grouping column (the reference groups by
     notice_id); default groups by ``media_type`` (images/, videos/, …).
@@ -62,7 +74,7 @@ def write_media_files(
                 )
                 d = os.path.join(root, sub)
                 os.makedirs(d, exist_ok=True)
-                path = os.path.join(d, _safe_name(r["media_ref"]))
+                path = os.path.join(d, _file_name(r["media_ref"]))
                 data = bytes(r["data"]) if r["data"] is not None else b""
                 with open(path, "wb") as f:
                     f.write(data)

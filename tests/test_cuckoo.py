@@ -104,3 +104,27 @@ def test_engine_equivalence_bloom_vs_cuckoo(spark, udfs, tmp_path):
         assert cat.meta()["bloom"]["kind"] == kind
         outs[kind] = (seen, log)
     assert outs["bloom"] == outs["cuckoo"]
+
+
+def test_overflow_sentinel_token_links_both_sides():
+    """The overflow exception carries the CUCKOO_OVER_CAPACITY sentinel and
+    the epoch loop's recovery matches on that exact token (ADVICE r03 low:
+    matching prose wording silently flips abort vs rebuild on a reword).
+    Pins the raise side here; the match side is pinned by the import in
+    plans/epoch.py being the SAME symbol object."""
+    import numpy as np
+    import pytest
+
+    import mediacrawler_spark.plans.epoch as epoch_mod
+    from mediacrawler_spark.operators.cuckoo import (
+        _SLOTS,
+        CUCKOO_OVER_CAPACITY,
+        _insert_keys,
+    )
+
+    assert epoch_mod.CUCKOO_OVER_CAPACITY is CUCKOO_OVER_CAPACITY
+    n_buckets = 4
+    state = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+    with pytest.raises(RuntimeError, match=CUCKOO_OVER_CAPACITY):
+        # far more keys than slots: the kick chain must exhaust
+        _insert_keys(state, np.arange(1, 200, dtype=np.int64), n_buckets)

@@ -50,3 +50,24 @@ def test_write_media_files_idempotent_and_grouped(spark, tmp_path):
     # reference-style grouping by item id via subdir_col
     by_type = write_media_files(df, root, subdir_col="media_type").collect()
     assert all("/image/" in r["path"] or "/video/" in r["path"] for r in by_type)
+
+
+def test_refs_differing_only_in_sanitized_chars_get_distinct_paths(spark, tmp_path):
+    """ADVICE r03: 'a/b' and 'a_b' sanitize identically; the md5 suffix
+    must keep their paths distinct so neither blob overwrites the other."""
+    root = str(tmp_path / "media3")
+    rows = [
+        ("ref/a/b", "image", b"first"),
+        ("ref/a_b", "image", b"second"),
+        ("x" * 300 + "tail", "image", b"long-a"),   # shared 120-char tail
+        ("y" * 300 + ("x" * 200 + "tail")[-120:], "image", b"long-b"),
+    ]
+    manifest = {
+        r["media_ref"]: r["path"]
+        for r in write_media_files(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), root
+        ).collect()
+    }
+    assert len(set(manifest.values())) == 4
+    assert open(manifest["ref/a/b"], "rb").read() == b"first"
+    assert open(manifest["ref/a_b"], "rb").read() == b"second"
