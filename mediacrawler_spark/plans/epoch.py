@@ -353,6 +353,44 @@ class CrawlEngine:
             )
         return df
 
+    def _migrate_legacy_state(self) -> None:
+        """Fold a pre-ptable snapshot (frontier/bloom committed as FULL
+        replace tables, rounds ≤2) into the partitioned layout with one
+        full-dirty migration commit before the first resumed epoch.
+
+        Without this, resuming an old-format snapshot silently corrupts
+        state (ADVICE r03 medium): ``read_parts('frontier', dirty)``
+        returns None — the epoch's touched set collapses to the admitted
+        delta, losing every committed deferred frontier row — and
+        ``stage_parts('bloom', base=None)`` keeps only dirty pins, so
+        clean shards vanish and the definitely-new fast path (which skips
+        the left_anti confirm) re-admits already-seen URLs."""
+        needs = [
+            t
+            for t in ("frontier", "bloom")
+            if self.catalog.legacy_version(t) is not None
+        ]
+        if not needs:
+            return
+        if "frontier" in needs:
+            n = self.cfg.frontier_partitions
+            df = self.catalog.read("frontier")
+            self.catalog.stage_parts(
+                df.withColumn(
+                    "_part", F.pmod(F.col("url_hash"), F.lit(n)).cast("int")
+                ),
+                "frontier",
+                n,
+                list(range(n)),
+            )
+            self.catalog.drop_table("frontier")
+        if "bloom" in needs:
+            m = self.catalog.meta().get("bloom") or {}
+            n_shards = int(m.get("n_shards", self.cfg.bloom_shards))
+            self._stage_bloom(self.catalog.read("bloom"), n_shards, list(range(n_shards)))
+            self.catalog.drop_table("bloom")
+        self.catalog.commit(self.catalog.committed_epoch())
+
     # -- the loop -------------------------------------------------------------
     def run(self, seeds: DataFrame | None, max_epochs: int | None = None) -> RunResult:
         """Run (or resume) the crawl until the frontier drains.
@@ -362,6 +400,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         result = RunResult()
+        self._migrate_legacy_state()
         start_epoch = self.catalog.committed_epoch() + 1
         if start_epoch == 0:
             if seeds is None:

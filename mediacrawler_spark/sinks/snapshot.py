@@ -47,6 +47,7 @@ class SnapshotCatalog:
         self._pending: dict[str, int] = {}
         self._pending_appends: dict[str, list[int]] = {}
         self._pending_parts: dict[str, dict] = {}
+        self._pending_drops: set[str] = set()
         self._versions: dict[str, int] = {}
         self._appends: dict[str, list[int]] = {}
         self._ptables: dict[str, dict] = {}
@@ -209,6 +210,26 @@ class SnapshotCatalog:
             *self._ptable_paths({"n": ent["n"], "parts": sub}, table)
         )
 
+    def legacy_version(self, table: str) -> int | None:
+        """Version pin of a FULL replace table for a name that is NOT a
+        ptable — the pre-partitioned snapshot format (rounds ≤2 committed
+        frontier/bloom this way). Migration detection hook: a resumed
+        crawl must fold such tables into the partitioned layout before
+        the first epoch (ADVICE r03 medium — read_parts() of a legacy
+        table returns None, silently dropping committed deferred frontier
+        rows and clean bloom shards)."""
+        if self._ptables.get(table) or self._pending_parts.get(table):
+            return None
+        return self._pending.get(table, self._versions.get(table))
+
+    def drop_table(self, table: str) -> None:
+        """Unpin a full replace table at the next commit. Used by ptable
+        migration: the contents move into the partitioned layout in the
+        same commit, and the stale full-table pin must not linger (the
+        ptable expiry sweep deletes legacy version dirs, which would
+        strand the pin and fail fsck)."""
+        self._pending_drops.add(table)
+
     def ptable_meta(self, table: str) -> dict | None:
         """Committed pin map of a partitioned table ({'n': P, 'parts': …})."""
         ent = self._ptables.get(table)
@@ -228,6 +249,8 @@ class SnapshotCatalog:
         fill count — the Iceberg snapshot-properties analog); it replaces
         the previous commit's meta wholesale for the keys given."""
         tables = {**self._versions, **self._pending}
+        for t in self._pending_drops:
+            tables.pop(t, None)
         appends = {
             t: sorted(
                 {str(x) for x in self._appends.get(t, [])}
@@ -256,6 +279,7 @@ class SnapshotCatalog:
         self._pending = {}
         self._pending_appends = {}
         self._pending_parts = {}
+        self._pending_drops = set()
 
     def meta(self) -> dict:
         """Snapshot properties of the last commit (empty dict if none)."""
@@ -373,7 +397,12 @@ class SnapshotCatalog:
         swap is a commit, so pending (uncommitted) stages would be
         published half-finished — refused outright to preserve crash
         atomicity. Returns True if a compaction ran."""
-        if self._pending or self._pending_appends or self._pending_parts:
+        if (
+            self._pending
+            or self._pending_appends
+            or self._pending_parts
+            or self._pending_drops
+        ):
             raise RuntimeError(
                 "compact_appends with uncommitted staged state would publish "
                 "a half-finished epoch — commit or discard the pending "
