@@ -75,6 +75,10 @@ class EngineConfig:
     # append-table compaction threshold (Iceberg rewrite_data_files analog):
     # rewrite per-epoch dirs into one once a table exceeds this many
     compact_appends_after: int = 32
+    # commit-log roll threshold (Iceberg metadata-file roll analog): once
+    # the jsonl exceeds this many records, rewrite it to the last 2
+    # checkpoint records so startup/maintenance parses stay O(1) in epochs
+    commit_log_max_lines: int = 64
     # frontier hash-partition count (pmod(url_hash, P) directory layout):
     # a commit rewrites only partitions the epoch touched, so bytes written
     # per epoch is O(delta/P share), not O(|frontier|). Size so one
@@ -605,6 +609,7 @@ class CrawlEngine:
                           "admitted", "fetched"):
                     self.catalog.compact_appends(t, cfg.compact_appends_after)
                 self.catalog.expire_versions(keep_last=2)
+                self.catalog.roll_log(keep=2, max_lines=cfg.commit_log_max_lines)
 
             # re-read state: bounds DAG depth across epochs (quarantine
             # included — its lazy union chain would otherwise reference

@@ -52,8 +52,16 @@ class SnapshotCatalog:
         self._appends: dict[str, list[int]] = {}
         self._ptables: dict[str, dict] = {}
         self._meta: dict = {}
-        last = self.last_commit()
+        # The log is parsed ONCE, here. Steady-state epoch-loop reads
+        # (committed_epoch via compact_appends ×6 tables every 8 epochs)
+        # come from this cache — re-parsing the ever-growing jsonl per
+        # call was O(E²·P) cumulative over a long crawl (VERDICT r03 #1).
+        recs = self._read_commits()
+        self._n_commits = len(recs)
+        self._epoch = -1
+        last = recs[-1] if recs else None
         if last:
+            self._epoch = int(last["epoch"])
             self._versions = dict(last["tables"])
             self._appends = {k: list(v) for k, v in last.get("appends", {}).items()}
             self._ptables = {
@@ -63,24 +71,63 @@ class SnapshotCatalog:
             self._meta = dict(last.get("meta", {}))
 
     # -- commit log ---------------------------------------------------------
-    def last_commit(self) -> dict | None:
+    def _read_commits(self) -> list[dict]:
+        """Every complete commit record, oldest first (a torn tail line is
+        an uncommitted crash remnant and is ignored)."""
         if not os.path.exists(self._log):
-            return None
-        last = None
+            return []
+        recs: list[dict] = []
         with open(self._log) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 try:
-                    last = json.loads(line)
+                    recs.append(json.loads(line))
                 except json.JSONDecodeError:
                     break  # torn tail line = uncommitted
-        return last
+        return recs
+
+    def last_commit(self) -> dict | None:
+        recs = self._read_commits()
+        return recs[-1] if recs else None
 
     def committed_epoch(self) -> int:
-        last = self.last_commit()
-        return -1 if last is None else int(last["epoch"])
+        return self._epoch
+
+    def roll_log(self, keep: int = 2, max_lines: int = 64) -> bool:
+        """Roll the commit log once it exceeds ``max_lines`` complete
+        records: rewrite it to the last ``keep`` records (each record is
+        self-contained — the full pin state — so the newest line IS a
+        checkpoint; the Iceberg metadata-file roll analog). Atomic via
+        write-temp + rename, so a crash mid-roll leaves the old log.
+
+        Without this the log grows one O(P)-sized line per epoch and
+        every remaining full parse (startup, expire_versions'
+        recent-commit scan) degrades O(E·P) (VERDICT r03 #1). ``keep``
+        should be ≥ expire_versions' ``keep_last`` so leaves pinned by
+        recent commits stay discoverable. Refused with pending staged
+        state (same atomicity argument as compact_appends). Returns True
+        if a roll happened."""
+        if (
+            self._pending
+            or self._pending_appends
+            or self._pending_parts
+            or self._pending_drops
+        ):
+            raise RuntimeError("roll_log with uncommitted staged state")
+        if self._n_commits <= max_lines:
+            return False
+        recs = self._read_commits()[-max(1, keep):]
+        tmp = self._log + ".tmp"
+        with open(tmp, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._log)
+        self._n_commits = len(recs)
+        return True
 
     # -- table io ------------------------------------------------------------
     def _path(self, table: str, version: int) -> str:
@@ -276,6 +323,8 @@ class SnapshotCatalog:
         self._appends = appends
         self._ptables = ptables
         self._meta = new_meta
+        self._epoch = int(epoch)
+        self._n_commits += 1
         self._pending = {}
         self._pending_appends = {}
         self._pending_parts = {}
@@ -427,20 +476,10 @@ class SnapshotCatalog:
         return True
 
     def _recent_commits(self, n: int) -> list[dict]:
-        """The last ``n`` complete commit records (oldest first)."""
-        if not os.path.exists(self._log):
-            return []
-        recs: list[dict] = []
-        with open(self._log) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    recs.append(json.loads(line))
-                except json.JSONDecodeError:
-                    break
-        return recs[-n:]
+        """The last ``n`` complete commit records (oldest first). Bounded
+        by roll_log: the file never holds more than ~max_lines records in
+        the steady state, so this parse is O(max_lines), not O(E)."""
+        return self._read_commits()[-n:]
 
     def expire_versions(self, keep_last: int = 2) -> int:
         """Snapshot expiry (SURVEY §7.4 risk 5: state growth across
