@@ -207,6 +207,11 @@ class CrawlOracle:
                 self._extract(t, page, spans)
 
             frontier = deferred + retries
+            # mirror of the engine's end-of-epoch quarantine prune
+            # (plans/epoch.py step 5): expired entries can never block a
+            # later epoch, so dropping them is semantics-free — pinned by
+            # the shared e2e tests (CLAUDE.md invariant: both sides).
+            quarantine = {h: u for h, u in quarantine.items() if u > epoch}
             res.epochs = epoch + 1
             if not candidates and not frontier:
                 break

@@ -572,10 +572,17 @@ class CrawlEngine:
                     n_parts,
                     dirty_parts,
                 )
+            # expired rows (quarantined_until ≤ this epoch) can never block
+            # again — selection at epoch E' > epoch needs until > E'. Drop
+            # them here so the committed table is O(active quarantines),
+            # not O(every host ever quarantined) rewritten per epoch
+            # (VERDICT r03 #2; oracle.py mirrors the prune — CLAUDE.md
+            # invariant: both sides).
             quarantine = (
                 quarantine.unionByName(out["quarantined_hosts"])
                 .groupBy("host")
                 .agg(F.max("quarantined_until").alias("quarantined_until"))
+                .filter(F.col("quarantined_until") > F.lit(epoch))
             )
 
             # 6. snapshot commit (atomic; also truncates plan lineage)

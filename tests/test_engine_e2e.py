@@ -277,3 +277,74 @@ def test_lineage_written(engine_result):
     assert lin is not None
     total = lin.agg(F.sum("fetch_count").alias("s")).collect()[0]["s"]
     assert total == res.total_fetched
+
+def test_quarantine_table_pruned_to_active(spark, tmp_path):
+    """VERDICT r03 #2: the committed quarantine table holds only ACTIVE
+    rows (until > last epoch) — hosts quarantined early in the crawl must
+    not be carried and rewritten forever after expiry. The 471 page only
+    exists at note index 100 (fixtures.py) and sits beyond the search
+    listings, so it is seeded directly (same setup as the
+    no-politeness-row quarantine test above)."""
+    import pandas as pd
+
+    from mediacrawler_spark.fixtures import UniverseParams, build_universe
+    from mediacrawler_spark.schemas import (
+        PAGES_SCHEMA, POLITENESS_SCHEMA, ROBOTS_SCHEMA, SEEDS_SCHEMA,
+    )
+
+    u = build_universe(
+        UniverseParams(
+            n_notes=102, n_hosts=6, n_keywords=2,
+            search_pages_per_keyword=1, max_comments_per_note=10,
+        )
+    )
+    blocked_urls = list(u.pages[u.pages["status"] == 471]["url"])
+    assert blocked_urls, "fixture must contain a 471 page"
+    seeds = pd.concat(
+        [
+            u.seeds,
+            pd.DataFrame(
+                [
+                    {"url": url, "platform": "xhs", "kind": "detail",
+                     "keyword": None, "priority": 0, "seq": 0}
+                    for url in blocked_urls
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    cfg = EngineConfig(max_comments_per_note=10, max_epochs=80)
+    cat = SnapshotCatalog(spark, str(tmp_path / "snap_quar_prune"))
+    eng = CrawlEngine(
+        spark, cat,
+        spark.createDataFrame(u.pages, PAGES_SCHEMA),
+        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
+        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
+        cfg,
+    )
+    res = eng.run(spark.createDataFrame(seeds, SEEDS_SCHEMA))
+    blocked = {
+        r["host"] for r in eng.fetch_log().filter("status in (471, 461)").collect()
+    }
+    assert blocked, "universe must exercise the quarantine path"
+    last_epoch = res.epochs[-1].epoch
+    q = cat.read("quarantine")
+    rows = q.collect() if q is not None else []
+    # every committed row is ACTIVE (expired ones were dropped at commit)
+    assert all(r["quarantined_until"] > last_epoch for r in rows)
+    # drive a few empty epochs past the last quarantine's expiry: the
+    # blocked host's row must disappear from the committed table
+    for _ in range(3):
+        eng.run(None, max_epochs=1)
+    final = cat.read("quarantine")
+    final_hosts = {r["host"] for r in final.collect()} if final is not None else set()
+    assert not final_hosts & blocked  # expired entries dropped
+    # prune is mirrored on both sides: seen set still matches the oracle
+    oracle = CrawlOracle(
+        u.pages, u.robots, u.politeness,
+        default_budget=cfg.default_budget,
+        comments_per_page=cfg.comments_per_page,
+        max_comments_per_note=cfg.max_comments_per_note,
+        epoch_ts=cfg.epoch_ts,
+    ).run(seeds)
+    assert {r["url"] for r in cat.read("seen").collect()} == oracle.seen
