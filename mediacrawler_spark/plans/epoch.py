@@ -612,9 +612,14 @@ class CrawlEngine:
                 # Iceberg maintenance analog: compact accumulated append
                 # dirs (rewrite_data_files), then drop dead versions +
                 # swapped-out append dirs (expire_snapshots, risk §7.4.5)
-                for t in ("seen", "span_rows", "fetch_log", "lineage",
-                          "admitted", "fetched"):
+                for t in ("seen", "span_rows", "fetch_log", "lineage"):
                     self.catalog.compact_appends(t, cfg.compact_appends_after)
+                # admitted/fetched are single-epoch materialization
+                # artifacts, never read after their commit — drop instead
+                # of compacting (VERDICT r03 #3: retained forever they
+                # duplicate seen/fetch_log, ~2× long-run snapshot bytes)
+                for t in ("admitted", "fetched"):
+                    self.catalog.prune_appends(t, min_epoch=epoch - 1)
                 self.catalog.expire_versions(keep_last=2)
                 self.catalog.roll_log(keep=2, max_lines=cfg.commit_log_max_lines)
 

@@ -475,6 +475,38 @@ class SnapshotCatalog:
         self.commit(self.committed_epoch())  # same epoch: pure metadata swap
         return True
 
+    def prune_appends(self, table: str, min_epoch: int) -> int:
+        """Drop committed append increments older than ``min_epoch`` from
+        the pin map (the dirs die at the next expire_versions sweep).
+
+        For single-epoch materialization tables (``admitted``/``fetched``)
+        that exist to stage one epoch's delta and are NEVER read after
+        that epoch's commit — retaining them forever duplicates
+        seen/fetch_log bytes in storage (VERDICT r03 #3). Compacted dirs
+        (``c<epoch>_<n>``) date from their creation epoch: everything in
+        them is at least that old, so they prune by the same rule. Same
+        atomicity stance as compact_appends: refused with pending staged
+        state; the swap is a same-epoch metadata commit. Returns the
+        number of increments dropped."""
+        if (
+            self._pending
+            or self._pending_appends
+            or self._pending_parts
+            or self._pending_drops
+        ):
+            raise RuntimeError("prune_appends with uncommitted staged state")
+        labels = [str(x) for x in self._appends.get(table, [])]
+
+        def label_epoch(lab: str) -> int:
+            return int(lab[1:].split("_")[0]) if lab.startswith("c") else int(lab)
+
+        keep = [lab for lab in labels if label_epoch(lab) >= min_epoch]
+        if len(keep) == len(labels):
+            return 0
+        self._appends[table] = sorted(keep)
+        self.commit(self.committed_epoch())
+        return len(labels) - len(keep)
+
     def _recent_commits(self, n: int) -> list[dict]:
         """The last ``n`` complete commit records (oldest first). Bounded
         by roll_log: the file never holds more than ~max_lines records in

@@ -181,3 +181,56 @@ def test_compact_appends_tiered_avoids_full_rewrites(spark, tmp_path):
     # expiry collects the swapped-out small dirs; content still intact
     cat.expire_versions(keep_last=2)
     content_ok(hi)
+
+
+def test_prune_appends_drops_old_single_epoch_artifacts(spark, tmp_path):
+    """VERDICT r03 #3: admitted/fetched are single-epoch materialization
+    artifacts — prune_appends drops increments older than min_epoch from
+    the pin map, expiry collects the dirs, resume + fsck stay green."""
+    root = str(tmp_path / "snap_prune_app")
+    cat = SnapshotCatalog(spark, root)
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    for e in range(10):
+        cat.stage_append(df, "admitted", e)
+        cat.commit(e)
+    assert cat.prune_appends("admitted", min_epoch=8) == 8
+    assert [str(x) for x in cat._appends["admitted"]] == ["8", "9"]
+    cat.expire_versions(keep_last=2)
+    left = sorted(os.listdir(os.path.join(root, "admitted")))
+    assert left == ["e=8", "e=9"]
+    assert cat.fsck() == []
+    # resume sees the pruned pin map; no-op below the floor
+    cat2 = SnapshotCatalog(spark, root)
+    assert [str(x) for x in cat2._appends["admitted"]] == ["8", "9"]
+    assert cat2.prune_appends("admitted", min_epoch=8) == 0
+    # compacted dirs prune by their creation epoch
+    cat2.compact_appends("admitted", max_dirs=1)
+    labs = [str(x) for x in cat2._appends["admitted"]]
+    assert any(lab.startswith("c") for lab in labs)
+    assert cat2.prune_appends("admitted", min_epoch=100) == len(labs)
+    assert cat2._appends["admitted"] == []
+    cat2.expire_versions(keep_last=1)
+    assert not any(
+        e.startswith("e=") for e in os.listdir(os.path.join(root, "admitted"))
+    )
+    assert cat2.fsck() == []
+
+
+def test_engine_maintenance_prunes_admitted_fetched(spark, universe, udfs, tmp_path):
+    """After an e2e run whose maintenance cycle fired, only the tail
+    window of admitted/fetched increments survives on disk."""
+    root = str(tmp_path / "snap_prune_e2e")
+    cfg = EngineConfig(max_comments_per_note=25, max_epochs=80)
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(
+        spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], cfg
+    )
+    res = eng.run(udfs["seeds"])
+    last = res.epochs[-1].epoch
+    assert last >= 7, "run must cross a maintenance cycle (epoch 7)"
+    for t in ("admitted", "fetched"):
+        labs = [str(x) for x in cat._appends[t]]
+        # everything before the last maintenance floor (7 - 1) is gone
+        assert all(not lab.startswith("c") for lab in labs)
+        assert min(int(lab) for lab in labs) >= 6, (t, labs)
+    assert cat.fsck() == []
