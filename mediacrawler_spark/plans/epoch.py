@@ -86,6 +86,13 @@ class EngineConfig:
     # the thousands); the sandbox default keeps partitions non-trivial at
     # test scale while still exercising partial rewrites.
     frontier_partitions: int = 32
+    # adaptive repartitioning: when the largest committed frontier
+    # partition exceeds this many bytes, maintenance doubles P via a
+    # full-dirty rewrite (VERDICT r03 #4 — P is otherwise pinned at
+    # catalog creation, and the 10^10 design point needs thousands of
+    # partitions a fresh catalog wouldn't start with). Default sized so a
+    # partition stays comfortably inside one executor task's memory.
+    frontier_max_part_bytes: int = 256 << 20
     # URL-seen prefilter kind (north_rule "bloom/cuckoo"): bloom is the
     # smaller append-only default; cuckoo supports DELETE for TTL/eviction
     # re-crawl scenarios (operators/cuckoo.py)
@@ -357,6 +364,36 @@ class CrawlEngine:
             )
         return df
 
+    def _maybe_grow_frontier(self) -> bool:
+        """Double the frontier partition count when the largest committed
+        partition leaf exceeds ``frontier_max_part_bytes``.
+
+        One full-dirty rewrite commit under the new ``pmod(url_hash, 2P)``
+        layout; the next epoch picks the new P up from the snapshot pin
+        (``_frontier_nparts``) and goes back to O(dirty)-partition
+        rewrites. Doubling keeps total re-layout work O(|frontier|·log P)
+        over a whole crawl — the geometric-growth argument of the bloom
+        capacity policy. Runs between epochs only (maintenance), so no
+        pending stages and no live lazy readers of the old layout."""
+        ent = self.catalog.ptable_meta("frontier")
+        if not ent or not ent["parts"]:
+            return False
+        sizes = self.catalog.ptable_part_bytes("frontier")
+        if not sizes or max(sizes.values()) <= self.cfg.frontier_max_part_bytes:
+            return False
+        new_n = int(ent["n"]) * 2
+        part = F.pmod(F.col("url_hash"), F.lit(new_n)).cast("int")
+        self.catalog.stage_parts(
+            self.catalog.read("frontier")
+            .withColumn("_part", part)
+            .repartition(new_n, "_part"),
+            "frontier",
+            new_n,
+            list(range(new_n)),
+        )
+        self.catalog.commit(self.catalog.committed_epoch())
+        return True
+
     def _migrate_legacy_state(self) -> None:
         """Fold a pre-ptable snapshot (frontier/bloom committed as FULL
         replace tables, rounds ≤2) into the partitioned layout with one
@@ -620,6 +657,7 @@ class CrawlEngine:
                 # duplicate seen/fetch_log, ~2× long-run snapshot bytes)
                 for t in ("admitted", "fetched"):
                     self.catalog.prune_appends(t, min_epoch=epoch - 1)
+                self._maybe_grow_frontier()
                 self.catalog.expire_versions(keep_last=2)
                 self.catalog.roll_log(keep=2, max_lines=cfg.commit_log_max_lines)
 

@@ -282,6 +282,25 @@ class SnapshotCatalog:
         ent = self._ptables.get(table)
         return {"n": int(ent["n"]), "parts": dict(ent["parts"])} if ent else None
 
+    def ptable_part_bytes(self, table: str) -> dict[int, int]:
+        """On-disk bytes of each committed partition leaf — a driver-side
+        metadata walk, no Spark job. Feeds the adaptive-repartition
+        trigger (a partition past the size threshold means the layout no
+        longer matches the data volume)."""
+        ent = self._ptables.get(table)
+        if not ent:
+            return {}
+        out: dict[int, int] = {}
+        for k, v in ent["parts"].items():
+            leaf = os.path.join(self._path(table, int(v)), f"_part={int(k)}")
+            total = 0
+            for dirpath, _dirs, files in os.walk(leaf):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+            out[int(k)] = total
+        return out
+
     def ptable_rows(self, table: str) -> int:
         """Row count of the committed partitioned table from parquet
         footers only (no Spark job)."""

@@ -272,3 +272,95 @@ def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
     want = sorted(v for vals in model.values() for v in vals)
     assert got == want, (got, want, ops)
     assert cat.fsck() == []
+
+
+def test_frontier_grows_partition_count_mid_crawl(spark, tmp_path):
+    """VERDICT r03 #4: a P=32 catalog doubles to P=64 mid-crawl via the
+    maintenance grow op. After the same number of epochs, the grown run's
+    seen set, fetch log, and frontier are IDENTICAL to a control run that
+    never re-partitioned (growth is pure layout), and at least one
+    post-growth epoch is a partial (O(dirty)) rewrite under the new
+    layout. Wide-frontier universe (240 notes, budget 2) so the frontier
+    outlives the cut."""
+    from dataclasses import replace as dc_replace
+
+    uni = build_universe(
+        UniverseParams(
+            n_notes=240,
+            n_hosts=3,
+            n_singleton_hosts=0,
+            n_keywords=1,
+            search_pages_per_keyword=1,
+            max_comments_per_note=10,
+            budget_hot=2,
+            budget_warm=2,
+        )
+    )
+    cfg = EngineConfig(
+        default_budget=2,
+        max_comments_per_note=10,
+        max_epochs=200,
+        frontier_partitions=32,
+        frontier_max_part_bytes=1,  # any non-empty partition triggers growth
+    )
+    pages = spark.createDataFrame(uni.pages, PAGES_SCHEMA)
+    robots = spark.createDataFrame(uni.robots, ROBOTS_SCHEMA)
+    politeness = spark.createDataFrame(uni.politeness, POLITENESS_SCHEMA)
+    seeds = spark.createDataFrame(uni.seeds, SEEDS_SCHEMA)
+
+    root = str(tmp_path / "snap_grow")
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(spark, cat, pages, robots, politeness, cfg)
+    eng.run(seeds, max_epochs=3)
+    assert cat.ptable_meta("frontier")["n"] == 32
+    assert cat.ptable_rows("frontier") > 0, "frontier must outlive the cut"
+    assert eng._maybe_grow_frontier() is True
+    ent = cat.ptable_meta("frontier")
+    assert ent["n"] == 64
+    assert len(set(ent["parts"].values())) == 1  # full-dirty rewrite
+
+    # resume on the grown layout with fresh objects and a sane threshold
+    # (no further growth), stepping epochs and watching the pin map: at
+    # least one post-growth epoch must keep some leaves' old pins while
+    # repinning others — the O(dirty) partial rewrite under the new P
+    cfg2 = dc_replace(cfg, frontier_max_part_bytes=256 << 20)
+    cat2 = SnapshotCatalog(spark, root)
+    eng2 = CrawlEngine(spark, cat2, pages, robots, politeness, cfg2)
+    prev = dict(cat2.ptable_meta("frontier")["parts"])
+    saw_partial = False
+    extra_epochs = 6
+    for _ in range(extra_epochs):
+        eng2.run(None, max_epochs=1)
+        cur = dict(cat2.ptable_meta("frontier")["parts"])
+        kept = [k for k, v in cur.items() if prev.get(k) == v]
+        changed = [k for k, v in cur.items() if prev.get(k) != v]
+        if kept and changed:
+            saw_partial = True
+        prev = cur
+    assert saw_partial, "no post-growth epoch did a partial rewrite"
+
+    # control: identical crawl, P=32 throughout, same total epoch count —
+    # growth must be invisible in every piece of crawl state
+    root_c = str(tmp_path / "snap_grow_ctl")
+    cat_c = SnapshotCatalog(spark, root_c)
+    eng_c = CrawlEngine(spark, cat_c, pages, robots, politeness, cfg2)
+    eng_c.run(seeds, max_epochs=3 + extra_epochs)
+    assert cat_c.ptable_meta("frontier")["n"] == 32
+
+    def state(cat_x, eng_x):
+        seen = frozenset(r["url"] for r in cat_x.read("seen").collect())
+        log = tuple(
+            (r["host"], r["url"], r["epoch"], r["host_rank"])
+            for r in eng_x.fetch_log()
+            .orderBy("host", "epoch", "host_rank")
+            .collect()
+        )
+        fr = frozenset(
+            (r["url_hash"], r["not_before_epoch"])
+            for r in (cat_x.read("frontier") or spark.range(0).selectExpr(
+                "id as url_hash", "id as not_before_epoch")).collect()
+        )
+        return seen, log, fr
+
+    assert state(cat2, eng2) == state(cat_c, eng_c)
+    assert cat2.fsck() == []
