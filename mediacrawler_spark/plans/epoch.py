@@ -628,19 +628,30 @@ class CrawlEngine:
             self.catalog.stage_append(spans_e, "span_rows", epoch)
             self.catalog.stage_append(fetch_log_e, "fetch_log", epoch)
             n_emitted = self.catalog.staged_rows("candidates")
-            lineage_e = (
-                fetched.groupBy(
-                    F.lit(epoch).alias("frontier_epoch"),
-                    F.pmod(F.xxhash64("salted_host"), F.lit(1024))
-                    .cast("int")
-                    .alias("partition_id"),
-                )
-                .agg(
-                    F.count("*").alias("fetch_count"),
-                    F.lit(n_dedup).cast("long").alias("dedup_count"),
-                    F.lit(n_emitted).cast("long").alias("emitted_count"),
-                )
-                .withColumn("committed_at", F.lit(cfg.epoch_ts + epoch).cast("long"))
+            # Lineage (north_rule: frontier epoch, partition id, fetch
+            # counts): fetch_count is attributed PER PARTITION; dedup and
+            # emitted counts are epoch-level facts (they have no
+            # per-fetch-partition meaning — dropped candidates never
+            # reach a salted host) and live on ONE summary row with
+            # partition_id = -1, so per-partition sums stay meaningful
+            # (VERDICT r03 #7; fsck checks the shape).
+            per_part = fetched.groupBy(
+                F.lit(epoch).alias("frontier_epoch"),
+                F.pmod(F.xxhash64("salted_host"), F.lit(1024))
+                .cast("int")
+                .alias("partition_id"),
+            ).agg(
+                F.count("*").alias("fetch_count"),
+                F.lit(None).cast("long").alias("dedup_count"),
+                F.lit(None).cast("long").alias("emitted_count"),
+            )
+            epoch_row = self.spark.createDataFrame(
+                [(epoch, -1, None, n_dedup, n_emitted)],
+                "frontier_epoch int, partition_id int, fetch_count bigint, "
+                "dedup_count bigint, emitted_count bigint",
+            )
+            lineage_e = per_part.unionByName(epoch_row).withColumn(
+                "committed_at", F.lit(cfg.epoch_ts + epoch).cast("long")
             )
             self.catalog.stage_append(lineage_e, "lineage", epoch)
             self.catalog.commit(epoch, meta={"bloom": self._bloom_meta(bloom)})

@@ -420,6 +420,53 @@ class SnapshotCatalog:
             logn = self.read("fetch_log").count()
             if (lin or 0) != logn:
                 problems.append(f"lineage fetch_count {lin} != fetch_log rows {logn}")
+        if not problems and self.has("lineage"):
+            # per-epoch lineage shape (VERDICT r03 #7): epoch-level counts
+            # (dedup/emitted) live on exactly ONE partition_id=-1 summary
+            # row, never on per-partition rows, and the summary row
+            # carries no fetch_count — otherwise per-partition sums of
+            # any column are meaningless. Epochs written before this
+            # format (no -1 row) are skipped.
+            from pyspark.sql import functions as F
+
+            is_sum = F.col("partition_id") == -1
+            shape = (
+                self.read("lineage")
+                .groupBy("frontier_epoch")
+                .agg(
+                    F.sum(is_sum.cast("int")).alias("n_summary"),
+                    F.sum(
+                        (
+                            (~is_sum)
+                            & (
+                                F.col("dedup_count").isNotNull()
+                                | F.col("emitted_count").isNotNull()
+                            )
+                        ).cast("int")
+                    ).alias("n_bad_part"),
+                    F.sum(
+                        (is_sum & F.col("fetch_count").isNotNull()).cast("int")
+                    ).alias("n_bad_sum"),
+                )
+                .collect()
+            )
+            for r in shape:
+                if r["n_summary"] > 1:
+                    problems.append(
+                        f"lineage epoch {r['frontier_epoch']}: "
+                        f"{r['n_summary']} summary rows (expected 1)"
+                    )
+                elif r["n_summary"] == 1 and r["n_bad_part"]:
+                    problems.append(
+                        f"lineage epoch {r['frontier_epoch']}: "
+                        f"{r['n_bad_part']} per-partition rows carry "
+                        "epoch-level counts"
+                    )
+                if r["n_bad_sum"]:
+                    problems.append(
+                        f"lineage epoch {r['frontier_epoch']}: summary row "
+                        "carries fetch_count"
+                    )
         return problems
 
     def _merge_append_dirs(self, table: str, labels: list[str]) -> str:

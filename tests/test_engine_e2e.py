@@ -278,6 +278,42 @@ def test_lineage_written(engine_result):
     total = lin.agg(F.sum("fetch_count").alias("s")).collect()[0]["s"]
     assert total == res.total_fetched
 
+
+def test_lineage_per_partition_attribution(engine_result):
+    """VERDICT r03 #7: fetch_count sums are meaningful per partition;
+    dedup/emitted are epoch-level facts on exactly one partition_id=-1
+    summary row per epoch, matching the engine's own EpochStats."""
+    eng, res = engine_result
+    lin = eng.catalog.read("lineage")
+    per_epoch = {
+        r["frontier_epoch"]: r
+        for r in lin.filter("partition_id >= 0")
+        .groupBy("frontier_epoch")
+        .agg(F.sum("fetch_count").alias("fetched"))
+        .collect()
+    }
+    summaries = lin.filter("partition_id = -1").collect()
+    by_epoch = {}
+    for r in summaries:
+        by_epoch.setdefault(r["frontier_epoch"], []).append(r)
+    for st in res.epochs:
+        got = per_epoch.get(st.epoch)
+        assert (got["fetched"] if got else 0) == st.fetched, st
+        srows = by_epoch.get(st.epoch, [])
+        assert len(srows) == 1, (st.epoch, srows)
+        assert srows[0]["dedup_count"] == st.deduped
+        assert srows[0]["emitted_count"] == st.emitted
+        assert srows[0]["fetch_count"] is None
+    # per-partition rows never carry epoch-level counts
+    assert (
+        lin.filter(
+            "partition_id >= 0 and "
+            "(dedup_count is not null or emitted_count is not null)"
+        ).count()
+        == 0
+    )
+    assert eng.catalog.fsck() == []
+
 def test_quarantine_table_pruned_to_active(spark, tmp_path):
     """VERDICT r03 #2: the committed quarantine table holds only ACTIVE
     rows (until > last epoch) — hosts quarantined early in the crawl must
