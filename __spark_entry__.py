@@ -416,6 +416,31 @@ def q_txt_stats(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_txt_quality(spark, sf):
+    """Quality scoring (Gopher/C4-style cheap filter): per-doc component
+    ratios + the composite score, all pure column expressions
+    (functions/textual.py:40-78). The DuckDB oracle recomputes every
+    component from scratch (token split, punct strip, stopword hits)."""
+    from mediacrawler_spark.functions.textual import (
+        mean_token_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("bigint").alias("n_tokens"),
+        F.round(mean_token_len(t), 6).alias("mean_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
 def q_txt_fingerprint(spark, sf):
     """Document fingerprinting (md5 of normalized text)."""
     d = _t(spark, sf, "documents")
@@ -678,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
+        "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -885,6 +911,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                        x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "txt_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS mtl,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, x -> list_contains(
+                                 ['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS sr
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   round(mtl, 6) AS mean_token_len,
+                   round(pr, 6) AS punct_ratio,
+                   round(sr, 6) AS stopword_ratio,
+                   round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+            FROM s ORDER BY doc_id
         """,
         "txt_fingerprint": r"""
             SELECT doc_id,
