@@ -98,7 +98,12 @@ class EngineConfig:
     # re-crawl scenarios (operators/cuckoo.py)
     seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
+    # FLOOR for the filter shard count; rebuilds raise it adaptively so
+    # one shard's serialized state stays under filter_shard_target_bytes
+    # (see _filter_shards_for) — 16 fixed shards at the 10^10-key design
+    # point would mean ~750 MB bloom rewrites per dirty shard.
     bloom_shards: int = 16
+    filter_shard_target_bytes: int = 32 << 20
     # above this total bitmap size the probe switches from broadcast-dict
     # to shard-wise cogroup (one shard per task, never the whole filter)
     bloom_broadcast_max_bytes: int = 32 << 20
@@ -209,6 +214,28 @@ class CrawlEngine:
             }
         return None
 
+    def _filter_shards_for(self, capacity: int) -> int:
+        """Shard count for a filter sized to ``capacity`` keys: the
+        smallest power of two (≥ the ``bloom_shards`` floor) that keeps
+        one shard's serialized state under ``filter_shard_target_bytes``.
+
+        Chosen at (re)build time only — every rebuild is already a
+        full-shard rewrite, so growing the shard count there is free,
+        and the commit meta pins it for resume. Bounds both the
+        per-epoch dirty-shard write (O(target) per touched shard, not
+        O(|filter|/16)) and the unit of work of the shard-wise cogroup
+        probe — the same geometric discipline as _maybe_grow_frontier."""
+        import math
+
+        if self.cfg.seen_filter == "cuckoo":
+            # 4 slots × 2 B per bucket at ~0.84 target load → ~2.4 B/key
+            bytes_per_key = 8.0 / (4 * 0.84)
+        else:
+            bytes_per_key = -math.log(self.cfg.bloom_fpp) / (math.log(2) ** 2) / 8.0
+        total = capacity * bytes_per_key
+        need = max(1.0, total / self.cfg.filter_shard_target_bytes)
+        return max(self.cfg.bloom_shards, 1 << math.ceil(math.log2(need)))
+
     def _ensure_bloom(self, bloom: dict | None, seen: DataFrame, n_batch: int) -> dict:
         """(Re)build the filter only when absent or about to exceed capacity.
 
@@ -230,11 +257,12 @@ class CrawlEngine:
             return bloom
         n_seen = bloom["n_inserted"] if bloom is not None else seen.count()
         capacity = max(1024, 2 * max(n_seen, n_batch * 4))
+        n_shards = self._filter_shards_for(capacity)
         if self.cfg.seen_filter == "cuckoo":
-            params = CuckooParams.size(capacity, self.cfg.bloom_shards)
+            params = CuckooParams.size(capacity, n_shards)
             table = build_cuckoo_table(seen.select("url_hash"), params)
         else:
-            params = BloomParams.size(capacity, self.cfg.bloom_fpp, self.cfg.bloom_shards)
+            params = BloomParams.size(capacity, self.cfg.bloom_fpp, n_shards)
             table = build_bloom_table(seen.select("url_hash"), params)
         self._stage_bloom(table, params.n_shards, list(range(params.n_shards)))
         return {
@@ -312,7 +340,7 @@ class CrawlEngine:
                 capacity = 2 * max(
                     bloom["capacity"], bloom["n_inserted"] + n_admitted
                 )
-                params = CuckooParams.size(capacity, self.cfg.bloom_shards)
+                params = CuckooParams.size(capacity, self._filter_shards_for(capacity))
                 all_keys = seen.select("url_hash").unionByName(keys)
                 self._stage_bloom(
                     build_cuckoo_table(all_keys, params),

@@ -147,3 +147,60 @@ def test_cuckoo_overflow_recovers_by_rebuild(spark, tmp_path):
     every = seen.unionByName(batch)
     misses = every.select(probe(F.col("url_hash")).alias("m")).filter("NOT m").count()
     assert misses == 0
+
+
+def test_adaptive_shard_count_grows_with_capacity(spark, tmp_path):
+    """VERDICT-r03-class scale hardening: shard count is chosen at
+    rebuild time so one shard's state stays near the byte target — a
+    fixed 16 shards at the 10^10-key design point would mean ~750 MB
+    rewrites per dirty shard. Asserts growth across rebuilds, the
+    per-shard byte bound, zero false negatives after the grown rebuild,
+    and that resume restores the grown count from the commit meta."""
+    cfg = EngineConfig(
+        bloom_fpp=0.01, bloom_shards=2, filter_shard_target_bytes=2048
+    )
+    root = str(tmp_path / "snap_adaptive")
+    cat = SnapshotCatalog(spark, root)
+    eng = CrawlEngine(spark, cat, None, None, None, cfg)
+
+    # small first build: floor applies
+    seen0 = _keys(spark, 0, 200)
+    b = eng._ensure_bloom(None, seen0, 200)
+    assert b["params"].n_shards == 2
+    cat.commit(0, meta={"bloom": eng._bloom_meta(b)})
+
+    # big rebuild: capacity ~2x40k keys -> ~12 KB of bitmap -> >2 shards
+    seen1 = _keys(spark, 0, 40_000)
+    b2 = eng._ensure_bloom({**b, "n_inserted": 40_000}, seen1, 40_000)
+    p = b2["params"]
+    assert p.n_shards > 2, p
+    assert p.n_shards & (p.n_shards - 1) == 0  # power of two
+    # per-shard serialized bytes near the target (x2 slack: sizing
+    # doubles capacity ahead of demand)
+    assert p.m_bits // 8 <= 2 * 2048, p
+    cat.commit(1, meta={"bloom": eng._bloom_meta(b2)})
+
+    # zero false negatives through the probe on the grown layout
+    probe = bloom_maybe_seen_udf(broadcast_bloom(b2["df"], p))
+    misses = (
+        seen1.select(probe(F.col("url_hash")).alias("m")).filter("NOT m").count()
+    )
+    assert misses == 0
+
+    # resume restores the grown shard count from meta
+    eng2 = CrawlEngine(spark, SnapshotCatalog(spark, root), None, None, None, cfg)
+    b3 = eng2._load_bloom()
+    assert b3 is not None and b3["params"].n_shards == p.n_shards
+
+    # cuckoo path sizes shards the same way
+    cfgc = EngineConfig(
+        seen_filter="cuckoo", bloom_shards=2, filter_shard_target_bytes=2048
+    )
+    engc = CrawlEngine(
+        spark, SnapshotCatalog(spark, str(tmp_path / "snap_adaptive_c")),
+        None, None, None, cfgc,
+    )
+    bc = engc._ensure_bloom(None, _keys(spark, 0, 40_000), 40_000)
+    pc = bc["params"]
+    assert pc.n_shards > 2, pc
+    assert 8 * pc.n_buckets <= 4 * 2048, pc  # per-shard state bound (x4 slack: pow2 bucket rounding)
