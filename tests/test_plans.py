@@ -67,3 +67,36 @@ def test_cosine_topk_broadcasts_queries(spark):
 
     plan = _plan(e.queries()["sim_cosine_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_epoch_job_count_bounded_and_flat(spark, udfs, tmp_path):
+    """Scheduler round-trips are the per-epoch fixed cost at the
+    10^4-epoch design point: the number of Spark jobs one epoch issues
+    must be BOUNDED and must not grow with the epoch index (a lazy-plan
+    leak or a per-epoch re-scan of history shows up here first).
+    Measured ~46-51 jobs/epoch on this universe (writes, persist,
+    dirty-part collect, footer-free counts keep it flat)."""
+    import tempfile
+
+    from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    sc = spark.sparkContext
+    eng = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path / "snap_jobs")),
+        udfs["pages"], udfs["robots"], udfs["politeness"],
+        EngineConfig(max_comments_per_note=25),
+    )
+    counts = []
+    for k in range(7):
+        sc.setJobGroup(f"epoch{k}", f"epoch {k}")
+        st = eng.run(udfs["seeds"] if k == 0 else None, max_epochs=1)
+        counts.append(len(sc.statusTracker().getJobIdsForGroup(f"epoch{k}")))
+        e = st.epochs[-1]
+        if e.fetched == 0 and e.admitted == 0 and e.emitted == 0:
+            break
+    sc.setJobGroup(None, None)
+    assert max(counts) <= 64, counts
+    # flat: later epochs issue no more jobs than early ones (+ slack)
+    assert counts[-1] <= counts[1] + 8, counts
