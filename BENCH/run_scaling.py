@@ -85,7 +85,8 @@ def main() -> None:
             f"= **{eff:.3f}** ({'PASS' if ok else 'below target'})"
         )
 
-    md = f"""# BENCH/BASELINE — scaling evidence
+    md = f"""
+## Thread-level sweep (run_scaling.py, latest run)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox evidence (per driver instruction): the same frontier
@@ -120,7 +121,22 @@ Notes
 Reproduce: `python BENCH/run_scaling.py {n_urls}`
 Generated: {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}
 """
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # Patch ONLY this script's section (marker-delimited) — never
+    # rewrite the whole evidence document (it accumulates cluster pairs,
+    # controls, ordering-oracle results, and per-round notes from the
+    # other runners and by hand).
+    path = REPO / "BENCH" / "BASELINE.md"
+    existing = (
+        path.read_text()
+        if path.exists()
+        else "# BENCH/BASELINE — scaling evidence\n"
+    )
+    marker = "\n## Thread-level sweep (run_scaling.py"
+    if marker in existing:
+        head, _, tail = existing.partition(marker)
+        nxt = tail.find("\n## ")
+        existing = head + (tail[nxt:] if nxt != -1 else "")
+    path.write_text(existing + md)
     print(md)
 
 
