@@ -392,6 +392,48 @@ def q_stream_window_counts(spark, sf):
     )
 
 
+def q_stream_dedup_keys(spark, sf):
+    """§2.11 streaming dedup, hard-oracled: the URL-seen dedup's
+    streaming face (streaming/frontier_stream.py:streaming_dedup shape)
+    — file source → watermark → dropDuplicates over the key, append-mode
+    memory sink. Emits exactly one row per distinct (user_id,
+    event_type); only the key columns are projected (first-wins payload
+    columns would be partition-order-dependent), so the materialized
+    result is deterministic and equals DuckDB's SELECT DISTINCT."""
+    sch = spark.read.parquet(f"{sf}/events.parquet").schema
+    name = "stream_dedup_keys_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/mcs_stream_src_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    src = spark.readStream.schema(sch).parquet(src_dir)
+    deduped = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_type"),
+        )
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
 # ---- training-data pipeline ops -------------------------------------------
 def q_dedup_exact_count(spark, sf):
     """Exact dedup: distinct normalized-text fingerprints (md5 for
@@ -701,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "window_5min": q_window_5min,
         "stream_window_counts": q_stream_window_counts,
+        "stream_dedup_keys": q_stream_dedup_keys,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
         "txt_quality": q_txt_quality,
@@ -900,6 +943,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M') AS w_start,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+            FROM events ORDER BY user_id, event_type
         """,
         "dedup_exact_count": r"""
             SELECT count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
