@@ -69,6 +69,21 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_text_query_scans_prune_columns(spark):
+    """The corpus text queries must reach the parquet scan with ONLY the
+    columns they project (a quality/stats scan reading the whole
+    documents schema is wrong at 100 TB)."""
+    import __spark_entry__ as entry
+
+    for name in ("txt_quality", "txt_stats", "txt_fingerprint"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "doc_id" in read and "text" in read, (name, read)
+        # full schema also carries lang/source/n_chars — none may be read
+        for col in ("lang", "source", "n_chars"):
+            assert col not in read, (name, col, read)
+
+
 def test_epoch_job_count_bounded_and_flat(spark, udfs, tmp_path):
     """Scheduler round-trips are the per-epoch fixed cost at the
     10^4-epoch design point: the number of Spark jobs one epoch issues
