@@ -2,11 +2,15 @@
 frame-sample over opaque ``binary`` media columns.
 
 The Spark-side plumbing is real and tested — schema, partitioning,
-``mapInPandas`` batch shape, Arrow transfer. The *codec* step is stubbed:
-this container has no image/audio libraries, so the default decoder is a
-deterministic fake (derives metadata/features from the bytes themselves);
-a real deployment passes ``decoder=`` backed by PIL/ffmpeg. Import-gated:
-if PIL is present it is used automatically for images.
+``mapInPandas`` batch shape, Arrow transfer. The codec step: PIL is used
+automatically if importable (general formats); without it, a pure
+stdlib+numpy PNG decoder (``png_decode_one``: zlib inflate + scanline
+unfiltering, 8-bit gray/RGB/GA/RGBA non-interlaced) handles the most
+common crawl image format for REAL, and anything else decodes to NULL
+metadata. ``_fake_decode`` (deterministic byte-math stand-in) remains
+for the SQL-reproducible driver oracle. Audio/video codecs stay out of
+scope for this container (no ffmpeg) — frame-sampling plans operate on
+metadata only.
 
 Media rows mirror SURVEY S7/K4: the crawl engine stores ``media_ref``
 spans; a downstream pipeline joins refs to fetched blobs in this table.
@@ -103,13 +107,134 @@ def _pil_decode(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
     return pd.DataFrame(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (8-bit, non-interlaced supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Pure-stdlib PNG decoder (zlib + numpy): 8-bit depth, color types
+    gray/RGB/gray-alpha/RGBA, non-interlaced, all five scanline filters.
+
+    Exists so the 'codec step' is REAL for the most common crawl image
+    format even in environments without PIL (this container) — the
+    import-gated PIL path remains the general codec. Returns
+    (width, height, HxW float32 grayscale in [0,1]) or None when the
+    blob is not a PNG this subset covers (palette, 16-bit, interlaced,
+    truncated)."""
+    import zlib
+
+    if not data or not bytes(data).startswith(_PNG_SIG):
+        return None
+    buf = bytes(data)
+    pos, idat, ihdr = len(_PNG_SIG), [], None
+    try:
+        while pos + 8 <= len(buf):
+            ln = int.from_bytes(buf[pos : pos + 4], "big")
+            typ = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return None
+            if typ == b"IHDR":
+                ihdr = body
+            elif typ == b"IDAT":
+                idat.append(body)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + body + crc
+        if ihdr is None or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+        if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            return None
+        ch = _PNG_CHANNELS[color_type]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        img = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+            if ftype == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            elif ftype == 2:  # Up
+                line = (line.astype(np.int32) + prev) % 256
+                line = line.astype(np.uint8)
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    line[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (int(line[x]) + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            img[y] = line
+            prev = line
+        px = img.reshape(h, w, ch).astype(np.float32)
+        if color_type == 0:
+            gray = px[:, :, 0]
+        elif color_type == 4:
+            gray = px[:, :, 0]  # luminance channel; alpha ignored
+        else:  # RGB / RGBA: ITU-R 601-2 luma
+            gray = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        return w, h, gray / 255.0
+    except Exception:
+        return None
+
+
+def _gray_feature(gray: np.ndarray, grid: int = 4) -> list[float]:
+    """grid×grid block-mean pooling of a grayscale image → flat feature."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = np.zeros((grid, grid), dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = float(block.mean()) if block.size else 0.0
+    return out.flatten().tolist()
+
+
+def _stdlib_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """PIL-free decoder: REAL decode for the supported PNG subset, NULL
+    metadata for anything else (honest 'undecodable', same contract as
+    _pil_decode's failure branch)."""
+    out = []
+    for ref, mtype, data in zip(pdf["media_ref"], pdf["media_type"], pdf["data"]):
+        dec = png_decode_one(data) if data is not None else None
+        if dec is None:
+            out.append(
+                {"media_ref": ref, "media_type": mtype, "width": None,
+                 "height": None, "n_frames": None, "feature": None}
+            )
+        else:
+            w, h, gray = dec
+            out.append(
+                {"media_ref": ref, "media_type": mtype, "width": w,
+                 "height": h, "n_frames": 1, "feature": _gray_feature(gray)}
+            )
+    return pd.DataFrame(out)
+
+
 def default_decoder() -> Callable[[pd.DataFrame], pd.DataFrame]:
-    try:  # real codec if available; deterministic fake otherwise
+    try:  # general codec if available; stdlib PNG subset otherwise
         import PIL  # noqa: F401
 
         return _pil_decode
     except ImportError:
-        return _fake_decode
+        return _stdlib_decode
 
 
 def decode_media(
