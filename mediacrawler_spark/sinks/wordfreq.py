@@ -11,9 +11,9 @@ The reference jieba-segments all content, drops stop words, writes
   every word into a driver Counter, which is fine single-node and fatal
   at corpus scale — deliberate, documented deviation);
 - the JSON artifact format matches the reference byte-for-byte
-  conventions; the PNG is rendered iff wordcloud+matplotlib are
-  importable (absent in this container), mirroring the reference's
-  optional plot-lock behavior.
+  conventions; the PNG uses wordcloud+matplotlib when importable and
+  otherwise a built-in dependency-free renderer (sinks/pngcanvas.py),
+  so the word-cloud artifact exists in every environment.
 """
 
 from __future__ import annotations
@@ -44,8 +44,10 @@ def save_word_frequency(
 
 
 def _maybe_cloud(top_freq: dict[str, int], out_prefix: str) -> bool:
-    """Render ``{prefix}_word_cloud.png`` when the plotting stack exists
-    (tools/words.py:58-75); silently skip otherwise."""
+    """Render ``{prefix}_word_cloud.png`` — the wordcloud/matplotlib
+    stack when present (tools/words.py:58-75); otherwise a built-in
+    dependency-free renderer (sinks/pngcanvas.py: 5x7 bitmap glyphs,
+    frequency-scaled, stdlib PNG encoder) so the artifact always exists."""
     try:
         import matplotlib
 
@@ -53,7 +55,10 @@ def _maybe_cloud(top_freq: dict[str, int], out_prefix: str) -> bool:
         import matplotlib.pyplot as plt
         from wordcloud import WordCloud
     except ImportError:
-        return False
+        from mediacrawler_spark.sinks.pngcanvas import render_wordcloud, write_png
+
+        write_png(render_wordcloud(top_freq), f"{out_prefix}_word_cloud.png")
+        return True
     wc = WordCloud(
         width=800, height=400, background_color="white", max_words=200
     ).generate_from_frequencies(top_freq)
