@@ -51,7 +51,7 @@ def _spark():
     return get_spark(app_name="ordering_10m", cpus=32, shuffle_partitions=32)
 
 
-def run(n_urls: int, spark=None) -> dict:
+def run(n_urls: int, spark=None, seen_filter: str = "bloom") -> dict:
     from pyspark.sql import functions as F
 
     from mediacrawler_spark.bench_workloads import synthetic_seed_urls, synthetic_seen
@@ -85,9 +85,20 @@ def run(n_urls: int, spark=None) -> dict:
     )
     unique = dedup_within_batch(cand).persist()
     seen = synthetic_seen(spark, unique).persist()
-    params = BloomParams.size(max(1024, n_urls), 0.01, 32)
-    table = build_bloom_table(seen, params)
-    admitted = dedup_against_seen_bloom(unique, seen, table, params).persist()
+    if seen_filter == "cuckoo":
+        from mediacrawler_spark.operators.cuckoo import (
+            CuckooParams,
+            build_cuckoo_table,
+            dedup_against_seen_cuckoo,
+        )
+
+        cparams = CuckooParams.size(max(1024, n_urls), 32)
+        ctable = build_cuckoo_table(seen, cparams)
+        admitted = dedup_against_seen_cuckoo(unique, seen, ctable, cparams).persist()
+    else:
+        params = BloomParams.size(max(1024, n_urls), 0.01, 32)
+        table = build_bloom_table(seen, params)
+        admitted = dedup_against_seen_bloom(unique, seen, table, params).persist()
     politeness = spark.createDataFrame(
         [("h0.example.test", BUDGET, 0)]
         + [(f"h{i}.example.test", BUDGET, 0) for i in range(1, N_HOSTS + 1)],
@@ -223,7 +234,8 @@ def run(n_urls: int, spark=None) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    r = run(n)
+    seen_filter = sys.argv[2] if len(sys.argv) > 2 else "bloom"
+    r = run(n, seen_filter=seen_filter)
     print(r)
     ok = r["canon_match"] and r["seen_match"] and r["admitted_match"] and r["selection_match"]
     section = f"""
