@@ -72,8 +72,14 @@ class SnapshotCatalog:
 
     # -- commit log ---------------------------------------------------------
     def _read_commits(self) -> list[dict]:
-        """Every complete commit record, oldest first (a torn tail line is
-        an uncommitted crash remnant and is ignored)."""
+        """Every complete commit record, oldest first.
+
+        Unparseable lines are SKIPPED, not treated as end-of-log: a
+        record never spans lines (json.dumps emits one line), so an
+        invalid line can only be a torn crash remnant — and if the
+        process died mid-append, a LATER commit may legitimately follow
+        it. Stopping at the first bad line (the old behavior) silently
+        rolled the catalog back past every commit after a torn one."""
         if not os.path.exists(self._log):
             return []
         recs: list[dict] = []
@@ -85,7 +91,7 @@ class SnapshotCatalog:
                 try:
                     recs.append(json.loads(line))
                 except json.JSONDecodeError:
-                    break  # torn tail line = uncommitted
+                    continue  # torn crash remnant — never a record prefix
         return recs
 
     def last_commit(self) -> dict | None:
@@ -334,8 +340,17 @@ class SnapshotCatalog:
             "meta": new_meta,
             "committed_at": int(time.time()),
         }
+        # A crash can leave a torn, newline-less tail; appending straight
+        # after it would concatenate THIS record onto the garbage line
+        # and lose it. Terminate any such tail first, then append.
+        lead = ""
+        if os.path.exists(self._log) and os.path.getsize(self._log) > 0:
+            with open(self._log, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                if rf.read(1) != b"\n":
+                    lead = "\n"
         with open(self._log, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            f.write(lead + json.dumps(rec) + "\n")
             f.flush()
             os.fsync(f.fileno())
         self._versions = tables

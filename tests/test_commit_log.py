@@ -79,3 +79,55 @@ def test_engine_resume_across_roll_matches_oracle(spark, udfs, universe, tmp_pat
         for r in eng2.documents().collect()
     }
     assert got_docs == oracle.documents
+
+
+def test_torn_tail_then_new_commits_survive(spark, tmp_path):
+    """Crash-recovery (round-4 fix): a torn newline-less tail must not
+    swallow the NEXT commit (blind append used to concatenate onto the
+    garbage line), and commits after a torn line must stay visible
+    (the reader used to stop at the first bad line)."""
+    root = str(tmp_path / "snap_torn")
+    log = os.path.join(root, "_commits.jsonl")
+    cat = SnapshotCatalog(spark, root)
+    df = spark.createDataFrame([(1,)], "k int")
+    cat.stage(df, "t")
+    cat.commit(0)
+    cat.commit(1)
+    # simulate a crash mid-append: partial JSON, no trailing newline
+    with open(log, "a") as f:
+        f.write('{"epoch": 2, "tab')
+
+    cat2 = SnapshotCatalog(spark, root)
+    assert cat2.committed_epoch() == 1  # torn record is uncommitted
+    cat2.commit(2)
+    # the new record must be a clean line, visible to a fresh reader
+    cat3 = SnapshotCatalog(spark, root)
+    assert cat3.committed_epoch() == 2
+    assert sorted(r["k"] for r in cat3.read("t").collect()) == [1]
+    assert cat3.fsck() == []
+
+    # a torn line in the MIDDLE (newline-terminated garbage) must not
+    # hide the commits that follow it
+    lines = open(log).read().splitlines()
+    with open(log, "w") as f:
+        f.write(lines[0] + "\n")
+        f.write('{"epoch": 99, "half\n')
+        for ln in lines[1:]:
+            f.write(ln + "\n")
+    cat4 = SnapshotCatalog(spark, root)
+    assert cat4.committed_epoch() == 2
+    assert cat4.fsck() == []
+
+
+def test_roll_log_overwrites_stale_tmp(spark, tmp_path):
+    """A crash between writing the roll temp file and the rename leaves
+    a stale .tmp; the next roll must simply overwrite it."""
+    root = str(tmp_path / "snap_tmp")
+    cat = SnapshotCatalog(spark, root)
+    for e in range(5):
+        cat.commit(e)
+    with open(os.path.join(root, "_commits.jsonl.tmp"), "w") as f:
+        f.write("stale garbage from a crashed roll\n")
+    assert cat.roll_log(keep=2, max_lines=0) is True
+    cat2 = SnapshotCatalog(spark, root)
+    assert cat2.committed_epoch() == 4
