@@ -653,6 +653,29 @@ def q_sim_ann_lsh(spark, sf):
     )
 
 
+def q_sim_ann_ivf(spark, sf):
+    """IVF coarse-quantized ANN (the second scale path beside LSH),
+    oracle-checked via planted twin queries: a query identical to a
+    corpus vector is assigned the same nearest-centroid cell (identical
+    argmin, deterministic centroid-id tie-break), so the rank-1 neighbor
+    after the in-cell exact rerank must be the twin (cosine 1.0).
+    Statistical recall@k is bounded in pytest (tests/test_similarity.py);
+    the centroid sample is md5(id)-ordered, so the whole pipeline is
+    deterministic end-to-end."""
+    from mediacrawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return (
+        ivf_topk(emb, q, dim=64, k=3, n_cells=16, n_probe=2)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs via bucketed self-join + exact
     cosine verify. Planted twins (vec_id+10000, identical vectors) give a
@@ -754,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "creator_record": q_creator_record,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
@@ -1061,6 +1085,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50 ORDER BY user_id
         """,
         "sim_ann_lsh": """
+            SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS neighbor_id
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "sim_ann_ivf": """
             SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS neighbor_id
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id

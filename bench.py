@@ -59,6 +59,7 @@ def main() -> None:
             "dedup_embedding",
             "sim_cosine_topk",
             "sim_ann_lsh",
+            "sim_ann_ivf",
             "txt_langid",
             "media_decode",
             "dedup_simhash_h3",
@@ -87,8 +88,9 @@ def main() -> None:
         # at equal query_rev (VERDICT r02 "What's wrong" #3: the r01→r02
         # dedup_simhash/sim_ann_lsh row-count shift was a silent rewrite).
         # rev history: 1 = r01 originals; 2 = r02 verify-then-report
-        # rewrites; 3 = r03 (adds dedup_simhash_h3; others unchanged).
-        "query_rev": 3,
+        # rewrites; 3 = r03 (adds dedup_simhash_h3; others unchanged);
+        # 4 = r04 (adds sim_ann_ivf; others unchanged).
+        "query_rev": 4,
     }
     if asm is not None:
         out["doc_assembly"] = asm

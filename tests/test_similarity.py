@@ -62,6 +62,57 @@ def test_ann_lsh_recall(spark, emb):
     assert recall >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall(spark, emb):
+    """IVF coarse-quantized ANN: with enough probes over the clustered
+    corpus, recall@3 against exact brute force clears the same floor the
+    LSH path is held to."""
+    from mediacrawler_spark.operators.similarity import ivf_topk
+
+    rows = emb.collect()
+    want = _numpy_topk([(r["vec_id"], r["embedding"]) for r in rows])
+    q = emb.filter(F.col("vec_id") < 6)
+    got_rows = ivf_topk(emb, q, dim=DIM, k=3, n_cells=8, n_probe=3).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(qi, set()) & set(want[qi])) for qi in want)
+    total = sum(len(v) for v in want.values())
+    recall = hits / total
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_ivf_planted_twin_rank1(spark, emb):
+    """A query identical to a corpus vector lands in the same cell (same
+    argmin, same tie-break) and must come back rank-1 at cosine 1.0 —
+    the deterministic invariant the driver oracle pins at sf0.01."""
+    from mediacrawler_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(emb, q, dim=DIM, k=3, n_cells=8, n_probe=2)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert set(top1) == {10000 + i for i in range(6)}
+    for qid, (nid, cos) in top1.items():
+        assert nid == qid - 10000
+        assert abs(cos - 1.0) < 1e-6
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    """Centroid pick is md5(id)-ordered — invariant to partitioning and
+    row order, so two runs (one over a shuffled frame) agree exactly."""
+    from mediacrawler_spark.operators.similarity import ivf_centroids
+
+    c1 = ivf_centroids(emb, n_cells=8)
+    c2 = ivf_centroids(emb.repartition(13).sortWithinPartitions(F.desc("vec_id")), n_cells=8)
+    assert c1.shape == (8, DIM)
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_cosine_near_dup_pairs_planted_twins(spark):
     """Bucketed self-join near-dup: planted identical twins all found
     (identical signature → same bucket, recall 1.0 by construction),
