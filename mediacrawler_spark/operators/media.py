@@ -3,10 +3,12 @@ frame-sample over opaque ``binary`` media columns.
 
 The Spark-side plumbing is real and tested — schema, partitioning,
 ``mapInPandas`` batch shape, Arrow transfer. The codec step: PIL is used
-automatically if importable (general formats); without it, a pure
-stdlib+numpy PNG decoder (``png_decode_one``: zlib inflate + scanline
-unfiltering, 8-bit gray/RGB/GA/RGBA non-interlaced) handles the most
-common crawl image format for REAL, and anything else decodes to NULL
+automatically if importable (general formats); without it, pure
+stdlib+numpy decoders handle the two dominant crawl image formats for
+REAL — PNG (``png_decode_one``: zlib inflate + scanline unfiltering,
+8-bit gray/RGB/GA/RGBA non-interlaced) and baseline JPEG
+(``operators/jpeg.py``: Huffman + dequant + IDCT, grayscale/YCbCr, any
+sampling, restart markers) — and anything else decodes to NULL
 metadata. ``_fake_decode`` (deterministic byte-math stand-in) remains
 for the SQL-reproducible driver oracle. Audio/video codecs stay out of
 scope for this container (no ffmpeg) — frame-sampling plans operate on
@@ -194,6 +196,115 @@ def png_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
         return None
 
 
+def png_encode_gray(gray: np.ndarray) -> bytes:
+    """Encode an HxW uint8 grayscale array as an 8-bit grayscale PNG
+    (filter-0 rows, single IDAT) — the inverse of ``png_decode_one`` for
+    color type 0. Shared by the resize operator and the word-cloud sink."""
+    import struct
+    import zlib
+
+    h, w = gray.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + gray[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def bilinear_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample of an HxW float array to
+    (out_h, out_w). Half-pixel-center sampling (the OpenCV/PIL
+    convention: src = (dst + 0.5) * scale - 0.5), edges clamped."""
+    h, w = gray.shape
+    ys = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    top = gray[y0][:, x0] * (1 - wx) + gray[y0][:, x1] * wx
+    bot = gray[y1][:, x0] * (1 - wx) + gray[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image blobs to ``width`` × ``height`` via ``mapInPandas``:
+    decode (stdlib PNG/baseline-JPEG — or PIL when present for general
+    formats), bilinear resample, re-encode as grayscale PNG. Undecodable
+    blobs come back with NULL dims/data (honest, same contract as decode).
+
+    Same skew treatment as ``decode_media``: repartition by media_ref
+    hash first, because cost follows bytes, not rows."""
+    try:  # pragma: no cover - PIL absent in this container
+        from io import BytesIO
+
+        from PIL import Image
+
+        def _load(data: bytes) -> np.ndarray | None:
+            try:
+                img = Image.open(BytesIO(data)).convert("L")
+                return np.asarray(img, dtype=np.float32) / 255.0
+            except Exception:
+                return None
+
+    except ImportError:
+
+        def _load(data: bytes) -> np.ndarray | None:
+            dec = _decode_any(data)
+            return None if dec is None else dec[2]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for ref, mtype, data in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["data"]
+            ):
+                gray = _load(data) if data is not None else None
+                if gray is None:
+                    out.append(
+                        {"media_ref": ref, "media_type": mtype, "width": None,
+                         "height": None, "data": None}
+                    )
+                else:
+                    small = bilinear_resize(gray, width, height)
+                    px = np.clip(np.rint(small * 255.0), 0, 255).astype(np.uint8)
+                    out.append(
+                        {"media_ref": ref, "media_type": mtype, "width": width,
+                         "height": height, "data": png_encode_gray(px)}
+                    )
+            yield pd.DataFrame(out)
+
+    src = media.repartition(F.xxhash64("media_ref"))
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def _gray_feature(gray: np.ndarray, grid: int = 4) -> list[float]:
     """grid×grid block-mean pooling of a grayscale image → flat feature."""
     h, w = gray.shape
@@ -207,13 +318,24 @@ def _gray_feature(gray: np.ndarray, grid: int = 4) -> list[float]:
     return out.flatten().tolist()
 
 
+def _decode_any(data: bytes) -> tuple[int, int, np.ndarray] | None:
+    """PIL-free codec dispatch: PNG subset, then baseline JPEG — the two
+    dominant crawl image formats, both decoded for REAL."""
+    from mediacrawler_spark.operators.jpeg import jpeg_decode_one
+
+    dec = png_decode_one(data)
+    if dec is None:
+        dec = jpeg_decode_one(data)
+    return dec
+
+
 def _stdlib_decode(pdf: pd.DataFrame) -> pd.DataFrame:
-    """PIL-free decoder: REAL decode for the supported PNG subset, NULL
-    metadata for anything else (honest 'undecodable', same contract as
-    _pil_decode's failure branch)."""
+    """PIL-free decoder: REAL decode for the supported PNG subset and
+    baseline JPEG, NULL metadata for anything else (honest
+    'undecodable', same contract as _pil_decode's failure branch)."""
     out = []
     for ref, mtype, data in zip(pdf["media_ref"], pdf["media_type"], pdf["data"]):
-        dec = png_decode_one(data) if data is not None else None
+        dec = _decode_any(data) if data is not None else None
         if dec is None:
             out.append(
                 {"media_ref": ref, "media_type": mtype, "width": None,
