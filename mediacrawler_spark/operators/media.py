@@ -10,8 +10,10 @@ REAL — PNG (``png_decode_one``: zlib inflate + scanline unfiltering,
 (``operators/jpeg.py``: Huffman + dequant + IDCT, grayscale/YCbCr, any
 sampling, restart markers) — and anything else decodes to NULL
 metadata. ``_fake_decode`` (deterministic byte-math stand-in) remains
-for the SQL-reproducible driver oracle. Audio/video codecs stay out of
-scope for this container (no ffmpeg) — frame-sampling plans operate on
+for the SQL-reproducible driver oracle. Uncompressed RIFF WAV audio
+decodes for real too (``wav_decode_one``: PCM/float subtypes → mono +
+RMS-envelope feature); compressed audio/video codecs stay out of scope
+for this container (no ffmpeg) — frame-sampling plans operate on
 metadata only.
 
 Media rows mirror SURVEY S7/K4: the crawl engine stores ``media_ref``
@@ -318,6 +320,78 @@ def _gray_feature(gray: np.ndarray, grid: int = 4) -> list[float]:
     return out.flatten().tolist()
 
 
+def wav_decode_one(data: bytes) -> tuple[int, np.ndarray] | None:
+    """Pure-stdlib WAV (RIFF) decoder: PCM 8/16/24/32-bit and IEEE
+    float32, any channel count (averaged to mono). Returns
+    (sample_rate, mono float32 in [-1, 1]) or None when the blob is not
+    a WAV this subset covers — the audio analog of the PNG/JPEG paths,
+    so the S7 audio branch is REAL too (compressed audio stays out of
+    scope for this container: no codecs)."""
+    import struct
+
+    try:
+        buf = bytes(data or b"")
+        if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return None
+        pos, fmt, raw = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            ln = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return None
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                raw = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or raw is None:
+            return None
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if n_ch < 1 or rate < 1:
+            return None
+        if audio_fmt == 1 and bits == 8:
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif audio_fmt == 1 and bits == 16:
+            x = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.float32)
+            x /= 32768.0
+        elif audio_fmt == 1 and bits == 24:
+            b3 = np.frombuffer(raw[: len(raw) // 3 * 3], dtype=np.uint8).reshape(-1, 3)
+            x = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / float(1 << 23)
+        elif audio_fmt == 1 and bits == 32:
+            x = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4").astype(np.float32)
+            x /= float(1 << 31)
+        elif audio_fmt == 3 and bits == 32:
+            x = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<f4").astype(np.float32)
+        else:
+            return None
+        n = (len(x) // n_ch) * n_ch
+        if n == 0:
+            return None
+        mono = x[:n].reshape(-1, n_ch).mean(axis=1)
+        return rate, np.clip(mono, -1.0, 1.0)
+    except Exception:
+        return None
+
+
+def _audio_feature(mono: np.ndarray, bins: int = _FEATURE_DIM) -> list[float]:
+    """bins-segment RMS envelope of a mono signal — the audio analog of
+    the image block-mean feature (same dimensionality, so decoded rows
+    share one feature space downstream)."""
+    edges = np.linspace(0, len(mono), bins + 1).astype(int)
+    out = []
+    for i in range(bins):
+        seg = mono[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        out.append(float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0)
+    return out
+
+
 def _decode_any(data: bytes) -> tuple[int, int, np.ndarray] | None:
     """PIL-free codec dispatch: PNG subset, then baseline JPEG — the two
     dominant crawl image formats, both decoded for REAL."""
@@ -330,22 +404,34 @@ def _decode_any(data: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _stdlib_decode(pdf: pd.DataFrame) -> pd.DataFrame:
-    """PIL-free decoder: REAL decode for the supported PNG subset and
-    baseline JPEG, NULL metadata for anything else (honest
-    'undecodable', same contract as _pil_decode's failure branch)."""
+    """PIL-free decoder: REAL decode for the supported PNG subset,
+    baseline JPEG, and RIFF WAV audio; NULL metadata for anything else
+    (honest 'undecodable', same contract as _pil_decode's failure
+    branch). Audio rows carry NULL width/height, n_frames = sample
+    count, and the RMS-envelope feature."""
     out = []
     for ref, mtype, data in zip(pdf["media_ref"], pdf["media_type"], pdf["data"]):
         dec = _decode_any(data) if data is not None else None
-        if dec is None:
-            out.append(
-                {"media_ref": ref, "media_type": mtype, "width": None,
-                 "height": None, "n_frames": None, "feature": None}
-            )
-        else:
+        if dec is not None:
             w, h, gray = dec
             out.append(
                 {"media_ref": ref, "media_type": mtype, "width": w,
                  "height": h, "n_frames": 1, "feature": _gray_feature(gray)}
+            )
+            continue
+        wav = wav_decode_one(data) if data is not None else None
+        if wav is not None:
+            _rate, mono = wav
+            out.append(
+                {"media_ref": ref, "media_type": mtype, "width": None,
+                 "height": None,
+                 "n_frames": int(min(len(mono), 2**31 - 1)),
+                 "feature": _audio_feature(mono)}
+            )
+        else:
+            out.append(
+                {"media_ref": ref, "media_type": mtype, "width": None,
+                 "height": None, "n_frames": None, "feature": None}
             )
     return pd.DataFrame(out)
 
