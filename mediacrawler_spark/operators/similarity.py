@@ -185,9 +185,88 @@ def ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        return np.zeros((0,))
     m = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.where(norms > 0, norms, 1.0)
+
+
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd-refined IVF centroids: start from the deterministic sample
+    (:func:`ivf_centroids`) and run ``iters`` distributed k-means steps —
+    assignment is the one-matmul-per-batch cell UDF, the per-cell mean is
+    one ``applyInPandas`` over a groupBy(cell) (n_cells tiny groups; the
+    only shuffle is the one k-means inherently needs, carrying (cell,
+    vector) pairs). Rows inside a group are summed in sorted-id order so
+    the result is bit-deterministic regardless of partitioning. Cells
+    that lose all members keep their previous centroid.
+
+    Init is a deterministic farthest-first traversal over an
+    md5(id)-ordered sample (the k-means++ practice at scale: seed from a
+    driver-sized sample, not N passes over the corpus) — a uniform pick
+    can land every seed in one dense cluster, which Lloyd cannot undo.
+    Refinement tightens cells around the true data clusters, which lifts
+    recall at the same n_probe; the plain sampled variant remains the
+    default where the correctness harness pins end-to-end determinism
+    against SQL."""
+    import pandas as pd  # noqa: F811 (executor-side)
+
+    sample = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("_pick"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("_pick")
+        .limit(max(n_cells * 64, 1024))
+        .collect()
+    )
+    if not sample:
+        return np.zeros((0,))
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    Xn = X / np.where(
+        np.linalg.norm(X, axis=1, keepdims=True) > 0,
+        np.linalg.norm(X, axis=1, keepdims=True),
+        1.0,
+    )
+    chosen = [0]  # smallest md5 seeds the traversal
+    while len(chosen) < min(n_cells, len(Xn)):
+        maxsim = (Xn @ Xn[chosen].T).max(axis=1)
+        maxsim[chosen] = np.inf  # never re-pick
+        chosen.append(int(np.argmin(maxsim)))  # farthest point; ties → lowest index
+    cents = Xn[chosen]
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        udf = ivf_cell_udf(cents, n_probe=1)
+        assigned = base.select(
+            "id", "v", udf(F.col("v")).getItem(0).alias("cell")
+        )
+
+        def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.vstack(pdf.sort_values("id")["v"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "mv": [m.mean(axis=0).tolist()]}
+            )
+
+        rows = (
+            assigned.groupBy("cell")
+            .applyInPandas(_cell_mean, "cell int, mv array<double>")
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in rows:
+            v = np.array(r["mv"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                nxt[r["cell"]] = v / n
+        cents = nxt
+    return cents
 
 
 def ivf_cell_udf(centroids: np.ndarray, n_probe: int = 1):
@@ -219,6 +298,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN (the coarse-quantized scale path beside the LSH
     one): corpus vectors are assigned to their nearest-centroid cell,
@@ -233,7 +313,18 @@ def ivf_topk(
     tie-break), so planted-twin recall is 1.0 — what the driver oracle
     checks; statistical recall@k is bounded in pytest against
     cosine_topk."""
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_cells, id_col, vec_col)
+    )
+    if cents.shape[0] == 0:  # empty corpus: no cells, no neighbors
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     assign = ivf_cell_udf(cents, n_probe=1)
     probe = ivf_cell_udf(cents, n_probe=n_probe)
     c = corpus.select(

@@ -113,6 +113,67 @@ def test_ivf_centroids_deterministic(spark, emb):
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_ivf_refined_centroids_find_true_clusters(spark, emb):
+    """Lloyd refinement on the well-separated 3-cluster fixture with
+    n_cells=3 must converge each centroid onto a distinct true cluster
+    center (cosine > 0.99), and the result must be deterministic under
+    repartitioning (sorted-id summation)."""
+    from mediacrawler_spark.operators.similarity import (
+        ivf_centroids_refined,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((3, DIM)) * 5  # same formula as `emb`
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    ref = ivf_centroids_refined(emb, n_cells=3, iters=3)
+    sims = ref @ cn.T  # (3 refined, 3 true)
+    best = sims.argmax(axis=1)
+    assert sorted(best) == [0, 1, 2]  # one refined centroid per true cluster
+    assert (sims.max(axis=1) > 0.99).all()
+
+    ref2 = ivf_centroids_refined(emb.repartition(13), n_cells=3, iters=3)
+    np.testing.assert_array_equal(ref, ref2)
+
+    # refined quantizer slots straight into ivf_topk and stays exact on recall floor
+    rows = emb.collect()
+    want = _numpy_topk([(r["vec_id"], r["embedding"]) for r in rows])
+    q = emb.filter(F.col("vec_id") < 6)
+    got_rows = ivf_topk(emb, q, dim=DIM, k=3, n_probe=2, centroids=ref).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(qi, set()) & set(want[qi])) for qi in want)
+    assert hits / sum(len(v) for v in want.values()) >= 0.8
+
+
+def test_ivf_plan_broadcasts_probes(spark, emb):
+    """The cell equi-join must broadcast the (tiny, exploded) query side
+    — never a shuffle or cartesian over the corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mediacrawler_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_topk(emb, q, dim=DIM, n_cells=8).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_empty_corpus_returns_empty(spark, emb):
+    from mediacrawler_spark.operators.similarity import ivf_topk
+
+    empty = emb.limit(0)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(empty, q, dim=DIM, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
 def test_cosine_near_dup_pairs_planted_twins(spark):
     """Bucketed self-join near-dup: planted identical twins all found
     (identical signature → same bucket, recall 1.0 by construction),
