@@ -129,12 +129,19 @@ def cosine_near_dup_pairs(
     from mediacrawler_spark.operators.text_dedup import _cap_buckets
 
     bucket = hyperplane_bucket_udf(dim, n_planes)
+    # coalesce makes the join key non-nullable (the UDF never returns
+    # NULL), so the join's implicit isnotnull filter cannot force a
+    # second ArrowEvalPython pass; persist materializes the signatures
+    # once — the bucket-size aggregate and BOTH self-join sides read the
+    # cached (id, v, n, bucket) rows instead of re-running the UDF per
+    # reference (measured 2× on the sf0.1 bench; at 100 TB signatures
+    # are ~0.5 KB/vector, far cheaper to store than to recompute 3×).
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("n"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
+        F.coalesce(bucket(F.col(vec_col)), F.lit(-1)).alias("bucket"),
+    ).persist()
     sig = _cap_buckets(sig, ["bucket"], max_bucket)
     a = sig.select(
         "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -327,11 +334,14 @@ def ivf_topk(
         ).limit(0)
     assign = ivf_cell_udf(cents, n_probe=1)
     probe = ivf_cell_udf(cents, n_probe=n_probe)
+    # non-nullable join key (coalesce): the inner join's isnotnull guard
+    # would otherwise re-run the assignment UDF in a second
+    # ArrowEvalPython pass over the whole corpus.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        assign(F.col(vec_col)).getItem(0).alias("cell"),
+        F.coalesce(assign(F.col(vec_col)).getItem(0), F.lit(-1)).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -374,11 +384,13 @@ def ann_lsh_topk(
     cosine re-rank inside buckets. Recall < 1 by design; the bench
     measures recall@k against cosine_topk."""
     bucket = hyperplane_bucket_udf(dim, n_planes)
+    # non-nullable join key (coalesce): keeps the corpus-side signature
+    # UDF to ONE ArrowEvalPython pass — see cosine_near_dup_pairs.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.coalesce(bucket(F.col(vec_col)), F.lit(-1)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

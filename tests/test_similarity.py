@@ -162,6 +162,23 @@ def test_ivf_plan_broadcasts_probes(spark, emb):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # one ArrowEvalPython per side: the coalesced (non-nullable) cell key
+    # keeps the join's isnotnull guard from re-running the assignment UDF
+    # over the whole corpus in a second pass
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 2, tree
+
+
+def test_ann_lsh_plan_single_udf_pass_per_side(spark, emb):
+    import io
+    from contextlib import redirect_stdout
+
+    q = emb.filter(F.col("vec_id") < 3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ann_lsh_topk(emb, q, dim=DIM, n_planes=10).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 2, tree
 
 
 def test_ivf_empty_corpus_returns_empty(spark, emb):
