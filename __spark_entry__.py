@@ -492,6 +492,102 @@ def q_txt_fingerprint(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_txt_repetition(spark, sf):
+    """Gopher-style repetition signals: per-doc fraction of word
+    bigrams/trigrams taken by the most frequent one (operators/corpus.py
+    top_ngram_fraction — explode + two partial-combine hash-aggs). The
+    DuckDB oracle rebuilds the n-grams with list_transform and takes the
+    same max-over-count."""
+    from mediacrawler_spark.operators.corpus import top_ngram_fraction
+
+    d = _t(spark, sf, "documents")
+    bi = top_ngram_fraction(d, 2).select(
+        "doc_id",
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("top_frac").alias("top_bigram_frac"),
+    )
+    tri = top_ngram_fraction(d, 3).select(
+        "doc_id",
+        F.col("n_grams").alias("n_trigrams"),
+        F.col("top_frac").alias("top_trigram_frac"),
+    )
+    return bi.join(tri, "doc_id").orderBy("doc_id")
+
+
+def q_dedup_span_shared(spark, sf):
+    """RefinedWeb-style duplicated-span fraction: of each doc's distinct
+    8-word-grams, how many occur in some OTHER doc (exact sub-document
+    dedup — the complement of whole-doc MinHash). Oracle recomputes the
+    exact answer via a gram equi-join in DuckDB."""
+    from mediacrawler_spark.operators.corpus import shared_ngram_stats
+
+    d = _t(spark, sf, "documents")
+    return shared_ngram_stats(d, n=8).orderBy("doc_id")
+
+
+def q_decontaminate_ngram(spark, sf):
+    """Benchmark decontamination: corpus docs (doc_id % 37 != 0) sharing
+    >= 1 distinct 4-gram with the held-out eval split (doc_id % 37 == 0).
+    Production pipelines use 8-13-grams; the synthetic corpus's small
+    vocabulary makes 4 the discriminative choice here (13 contaminated
+    docs vs 1 at n=8). The benchmark gram set is broadcast
+    (plan-asserted in tests/test_corpus.py) — at 100 TB the corpus side
+    streams through the join with zero shuffle."""
+    from mediacrawler_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=4).orderBy("doc_id")
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling: 5 docs per language, drawn by
+    md5(doc_id) order (two-phase salted top-k, politeness-scheduler
+    shape). Both engines rank by the same hash, so the sample is exactly
+    reproducible."""
+    from mediacrawler_spark.operators.corpus import stratified_sample
+
+    d = _t(spark, sf, "documents").withColumn(
+        "draw", F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        stratified_sample(d, ["lang"], k=5, order_col="draw")
+        .select("lang", F.col("rk").cast("bigint").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+def q_txt_pii_scrub(spark, sf):
+    """PII scrub audit: deterministic synthetic PII (email/IPv4/phone
+    derived from doc_id) is appended IDENTICALLY on both engines, then
+    counted (regexp_extract_all) and redacted (typed placeholders); the
+    scrubbed text is compared by md5. Patterns live in the Java-regex ∩
+    RE2 common subset (functions/textual.py PII_*) so both engines
+    compile the same automaton."""
+    from mediacrawler_spark.functions.textual import pii_counts, pii_scrub
+
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from "),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.0.1 tel +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 1234"),
+    )
+    n_email, n_ip, n_phone = pii_counts(injected)
+    return d.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ips"),
+        n_phone.cast("bigint").alias("n_phones"),
+        F.md5(F.encode(pii_scrub(injected), "utf-8")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def q_sim_cosine_topk(spark, sf):
     """Brute-force cosine top-3 neighbors for the first 5 vectors."""
     from mediacrawler_spark.operators.similarity import cosine_topk
@@ -771,6 +867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_stats": q_txt_stats,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_repetition": q_txt_repetition,
+        "txt_pii_scrub": q_txt_pii_scrub,
+        "dedup_span_shared": q_dedup_span_shared,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "sample_stratified": q_sample_stratified,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1018,6 +1119,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "txt_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) AS bi,
+                     list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+              FROM t
+            ), bc AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(bi) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            ), tc AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(tri) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(bi) AS BIGINT) AS n_bigrams,
+                   CASE WHEN len(bi) > 0
+                        THEN round(bc.top_c * 1.0 / len(bi), 6)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CAST(len(tri) AS BIGINT) AS n_trigrams,
+                   CASE WHEN len(tri) > 0
+                        THEN round(tc.top_c * 1.0 / len(tri), 6)
+                        ELSE 0.0 END AS top_trigram_frac
+            FROM g
+            LEFT JOIN bc ON bc.doc_id = g.doc_id
+            LEFT JOIN tc ON tc.doc_id = g.doc_id
+            ORDER BY g.doc_id
+        """,
+        "dedup_span_shared": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 6),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                           || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                           || toks[i+6] || ' ' || toks[i+7])) AS grams
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+            ), gd AS (
+              SELECT gram, count(*) AS n_docs FROM e GROUP BY gram
+            ), sh AS (
+              SELECT e.doc_id, count(*) AS shared_spans
+              FROM e JOIN gd ON gd.gram = e.gram AND gd.n_docs >= 2
+              GROUP BY e.doc_id
+            )
+            SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_spans,
+                   CAST(coalesce(sh.shared_spans, 0) AS BIGINT) AS shared_spans,
+                   CASE WHEN len(grams) > 0
+                        THEN round(coalesce(sh.shared_spans, 0) * 1.0 / len(grams), 6)
+                        ELSE 0.0 END AS shared_frac
+            FROM g LEFT JOIN sh ON sh.doc_id = g.doc_id
+            ORDER BY g.doc_id
+        """,
+        "decontaminate_ngram": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                           || toks[i+3])) AS grams
+              FROM t
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+            ), corpus AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM corpus JOIN bench USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sample_stratified": """
+            SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+                FROM documents)
+            WHERE rk <= 5 ORDER BY lang, rk
+        """,
+        "txt_pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from ' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.0.1 tel +1 555 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' 1234' AS inj
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(inj,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(inj,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(inj,
+                       '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(inj,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM t ORDER BY doc_id
         """,
         "sim_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -63,6 +63,9 @@ def main() -> None:
             "txt_langid",
             "media_decode",
             "dedup_simhash_h3",
+            "txt_repetition",
+            "dedup_span_shared",
+            "decontaminate_ngram",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -89,8 +92,10 @@ def main() -> None:
         # dedup_simhash/sim_ann_lsh row-count shift was a silent rewrite).
         # rev history: 1 = r01 originals; 2 = r02 verify-then-report
         # rewrites; 3 = r03 (adds dedup_simhash_h3; others unchanged);
-        # 4 = r04 (adds sim_ann_ivf; others unchanged).
-        "query_rev": 4,
+        # 4 = r04 (adds sim_ann_ivf; others unchanged); 5 = r04 (adds
+        # txt_repetition/dedup_span_shared/decontaminate_ngram corpus
+        # ops; others unchanged).
+        "query_rev": 5,
     }
     if asm is not None:
         out["doc_assembly"] = asm

@@ -106,6 +106,47 @@ def doc_fingerprint(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """All word n-grams of the tokenized text, in order, WITH duplicates
+    (the repetition-filter input; contrast ``word_shingles`` which is
+    distinct). Empty array when the doc has fewer than n tokens."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset so the Spark
+# expressions and the DuckDB oracle compile the same automaton: no
+# backreferences, no lookaround, only \d and explicit classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) match counts — the audit face of the
+    scrubber; all JVM-side regexp_extract_all."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))),
+    )
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails/IPv4s/phones with typed placeholder tags. Email
+    first so an address is never half-eaten by the phone pattern."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles (distinct) for MinHash/Jaccard."""
     toks = tokens(col)

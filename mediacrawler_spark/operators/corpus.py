@@ -1,0 +1,174 @@
+"""Corpus-preparation operators for the training-data pipeline.
+
+Beyond near-dup detection (operators/text_dedup.py) a 100 TB corpus prep
+needs the document-statistics filters the public pipelines run between
+crawl and training: repetition signals (Gopher-style top-n-gram
+fraction), exact sub-document span sharing (RefinedWeb-style duplicated
+n-gram fraction), benchmark decontamination (n-gram overlap against an
+eval set), and deterministic stratified sampling. All are expressed as
+shuffle-bounded DataFrame plans:
+
+- repetition / span sharing: explode n-grams -> hash-agg (map-side
+  partial combine) keyed by (doc_id, gram) then doc_id / gram — never
+  any all-pairs or per-row Python.
+- decontamination: the benchmark's distinct-gram set is tiny relative
+  to the corpus (eval suites are ~10^6 grams at most), so it is
+  broadcast; the corpus side streams through one hash join, no shuffle
+  of the big side.
+- stratified sampling: two-phase salted top-k (same shape as the
+  politeness scheduler, operators/politeness.py:22-27) so a skewed
+  stratum never funnels into a single task.
+
+Reference scope: the reference crawler stops at word-frequency analytics
+(/root/reference/tools/words.py); these operators are the engine-side
+extensions SURVEY §2 lists for LLM-corpus prep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.functions.textual import word_ngrams
+
+
+def top_ngram_fraction(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signal: fraction of the doc's word n-grams
+    taken by its single most frequent n-gram (Gopher repetition filter).
+
+    Returns (id_col, n_grams, top_frac) for EVERY input doc; docs with
+    fewer than n tokens get n_grams=0, top_frac=0.0. Plan: one explode,
+    two hash-aggs (both with partial combine), one equi-join back on the
+    id — no all-pairs, no Python."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(F.max("c").alias("top_c"))
+    totals = docs.select(
+        F.col(id_col),
+        F.size(word_ngrams(F.col(text_col), n)).cast("bigint").alias("n_grams"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("top_c").cast("double") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_frac"),
+    )
+
+
+def shared_ngram_stats(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc exact sub-document duplication: of the doc's DISTINCT word
+    n-grams, how many also occur in at least one OTHER doc (RefinedWeb's
+    duplicated-n-gram-fraction filter, the exact complement to MinHash's
+    whole-doc near-dup).
+
+    Returns (id_col, n_spans, shared_spans, shared_frac) for every doc.
+    Plan: distinct grams per doc (array_distinct inside the row — no
+    dedup shuffle), one gram-keyed hash-agg counting containing docs,
+    one equi-join on gram, one id-keyed hash-agg. The gram-keyed steps
+    have partial combine; skewed grams (boilerplate) fan out across
+    partitions in the agg, not into a window."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    # rows are distinct per (doc, gram), so count(*) == distinct docs
+    gram_docs = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = (
+        grams.join(gram_docs.filter(F.col("n_docs") >= 2), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_spans"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(F.col(text_col), n)))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return totals.join(shared, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce(F.col("shared_spans"), F.lit(0)).cast("bigint").alias("shared_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(
+                F.coalesce(F.col("shared_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    n-gram with the eval set, with the count of distinct contaminated
+    grams per doc (the filter every public LLM pipeline runs before
+    training).
+
+    The benchmark's distinct gram set is broadcast — eval suites are
+    orders of magnitude smaller than the corpus, so the 100 TB side
+    streams through a broadcast hash join with zero shuffle; only the
+    final per-doc count aggregates. Returns (id_col, n_contaminated)
+    for contaminated docs only."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_contaminated"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    order_col: str,
+    salt_splits: int = 8,
+) -> DataFrame:
+    """Deterministic stratified sample: the k smallest rows per stratum
+    under (order_col, tiebreak on the remaining order) — hash the key
+    into order_col upstream for a uniform pseudo-random draw that is
+    exactly reproducible on both engines.
+
+    Two-phase salted top-k (politeness-scheduler shape): phase 1 ranks
+    within (strata, salt) so a hot stratum is pruned to salt_splits*k
+    rows by parallel tasks; phase 2 ranks the survivors per stratum.
+    Output rows carry ``rk`` (1..k within stratum)."""
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_splits))
+    w_local = Window.partitionBy(*strata, "_salt").orderBy(order_col)
+    w_global = Window.partitionBy(*strata).orderBy(order_col)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .drop("_salt", "_lrk")
+    )

@@ -1,0 +1,116 @@
+"""Corpus-prep operators (operators/corpus.py): repetition fraction,
+shared-span stats, decontamination, stratified sampling — planted
+fixtures with hand-computed expectations, plus plan shape checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.corpus import (
+    decontaminate,
+    shared_ngram_stats,
+    stratified_sample,
+    top_ngram_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # "a b" appears 3x of 5 bigrams -> top_frac 0.6
+        (1, "a b a b a b"),
+        # all 4 bigrams distinct -> top_frac 0.25
+        (2, "p q r s t"),
+        # too short for bigrams
+        (3, "solo"),
+        # shares the 3-gram "x y z" with doc 5, rest unique
+        (4, "x y z m n o p q"),
+        (5, "x y z w v u t s"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_top_ngram_fraction(docs):
+    out = {
+        r["doc_id"]: (r["n_grams"], r["top_frac"])
+        for r in top_ngram_fraction(docs, 2).collect()
+    }
+    assert out[1] == (5, 0.6)
+    assert out[2] == (4, 0.25)
+    assert out[3] == (0, 0.0)  # short doc present, zeroed
+    assert out[4] == (7, pytest.approx(1 / 7, abs=1e-6))
+
+
+def test_shared_ngram_stats(docs):
+    out = {
+        r["doc_id"]: (r["n_spans"], r["shared_spans"], r["shared_frac"])
+        for r in shared_ngram_stats(docs, n=3).collect()
+    }
+    # docs 4 and 5 share exactly the "x y z" 3-gram; each has 6 trigrams
+    assert out[4] == (6, 1, pytest.approx(1 / 6, abs=1e-6))
+    assert out[5] == (6, 1, pytest.approx(1 / 6, abs=1e-6))
+    assert out[1][1] == 0 and out[2][1] == 0
+    assert out[3] == (0, 0, 0.0)
+    assert len(out) == 5  # every doc reported
+
+
+def test_decontaminate(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "x y z only here"), (101, "nothing matches this")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_contaminated"] for r in
+           decontaminate(docs, bench, n=3).collect()}
+    assert out == {4: 1, 5: 1}  # only the "x y z" span overlaps
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    bench = spark.createDataFrame([(100, "x y z only here")], ["doc_id", "text"])
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side must not shuffle
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "stratum"]).withColumn(
+        "draw", F.md5(F.col("id").cast("string"))
+    )
+    out = stratified_sample(df, ["stratum"], k=4, order_col="draw")
+    got = sorted((r["stratum"], r["rk"], r["id"]) for r in out.collect())
+    assert len(got) == 12  # 3 strata x k
+    # matches the unsalted single-window reference ranking exactly
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy("draw")
+    ref = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .collect()
+    )
+    assert got == sorted((r["stratum"], r["rk"], r["id"]) for r in ref)
+    # rerun is identical (deterministic draw)
+    again = sorted((r["stratum"], r["rk"], r["id"]) for r in out.collect())
+    assert again == got
+
+
+def test_pii_scrub_and_counts(spark):
+    from mediacrawler_spark.functions.textual import pii_counts, pii_scrub
+
+    rows = [
+        (1, "mail bob@example.com and carol@test.org from 10.1.2.3"),
+        (2, "call +1 555 0100 999 or nothing"),
+        (3, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    e, i, p = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: (r["e"], r["i"], r["p"], r["s"])
+        for r in df.select(
+            "doc_id", e.alias("e"), i.alias("i"), p.alias("p"),
+            pii_scrub(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[1][:3] == (2, 1, 0)
+    assert out[1][3] == "mail <EMAIL> and <EMAIL> from <IP>"
+    assert out[2][:3] == (0, 0, 1)
+    assert out[2][3] == "call <PHONE> or nothing"
+    assert out[3] == (0, 0, 0, "clean text")
