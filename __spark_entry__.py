@@ -588,6 +588,55 @@ def q_txt_pii_scrub(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate GROUPS, not pairs: the verified minhash near-dup pairs
+    (same pipeline as dedup_minhash_lsh) fed through alternating
+    large-star/small-star connected components (operators/graph.py), so
+    a keep-one-per-cluster filter can run. The DuckDB oracle recomputes
+    exact Jaccard>=0.8 pairs and takes components via a recursive-CTE
+    min-label fixpoint — fully independent of the star contraction."""
+    from mediacrawler_spark.operators.graph import dedup_clusters
+    from mediacrawler_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cand = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(d, cand, threshold=0.8).select("id_a", "id_b")
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+def q_asof_join(spark, sf):
+    """Event enrichment via as-of join: every 'error' event joined to the
+    latest at-or-before 'click' of the same user (operators/temporal.py —
+    union+window, ONE exchange on user_id, never a range join). Right
+    side deduped per (user, ts) keeping max event_id so both engines pick
+    the same winner; unmatched errors surface as -1/0.0 (not NULL — a
+    nullable BIGINT renders as float64 in pandas and would hash-mismatch)."""
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        keys=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof.event_id"), F.lit(-1)).cast("bigint").alias("click_event_id"),
+        F.round(F.coalesce(F.col("asof.value"), F.lit(0.0)), 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
 def q_sim_cosine_topk(spark, sf):
     """Brute-force cosine top-3 neighbors for the first 5 vectors."""
     from mediacrawler_spark.operators.similarity import cosine_topk
@@ -872,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_shared": q_dedup_span_shared,
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1241,6 +1292,59 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '<PHONE>', 'g')) AS scrubbed_md5
             FROM t ORDER BY doc_id
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+            cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+            sz AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+            SELECT cc.id AS doc_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(sz.n AS BIGINT) AS cluster_size,
+                   cc.id = cc.cluster_id AS is_canonical
+            FROM cc JOIN sz USING (cluster_id)
+            ORDER BY doc_id
+        """,
+        "asof_join": """
+            WITH errors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+            ), clicks AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                           ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click')
+              WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(coalesce(c.event_id, -1) AS BIGINT) AS click_event_id,
+                   round(coalesce(c.value, 0.0), 6) AS click_value
+            FROM errors e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.event_id
         """,
         "sim_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -1,0 +1,85 @@
+"""connected_components / dedup_clusters (operators/graph.py): planted
+graphs, an adversarial long path (label propagation's worst case), and a
+pseudo-random graph checked against an independent union-find."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_two_components_and_chain(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # a 64-node path with ids deliberately anti-sorted: plain label
+    # propagation needs ~64 rounds; star contraction must do it in O(log^2)
+    ids = [(i * 37) % 64 + 100 for i in range(64)]
+    edges = list(zip(ids, ids[1:]))
+    got = _cc(spark, edges, max_iter=14)
+    assert set(got.values()) == {100}
+    assert len(got) == 64
+
+
+def test_random_graph_matches_union_find(spark):
+    # deterministic pseudo-random graph: 300 nodes, 260 edges
+    def rng(i):
+        x = (i * 2654435761 + 17) % (2**32)
+        return x
+
+    edges = [((rng(i) % 300), (rng(i * 7 + 3) % 300)) for i in range(260)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _cc(spark, edges)
+    assert got == _union_find(edges)
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    got = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}  # self-loop node 5 has no real edge
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (20, 21)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        3: 3, 7: 3, 9: 3, 20: 20, 21: 20
+    }
+    assert {d: r["cluster_size"] for d, r in rows.items()} == {
+        3: 3, 7: 3, 9: 3, 20: 2, 21: 2
+    }
+    assert {d for d, r in rows.items() if r["is_canonical"]} == {3, 20}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)

@@ -1,0 +1,110 @@
+"""asof_join (operators/temporal.py): hand fixtures vs a brute-force
+reference, <= vs strict semantics, tiebreak determinism, plan shape
+(single exchange on the keys — never a range join)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _brute_asof(left, right, strict):
+    """Reference: latest right at-or-before (strictly before) per key."""
+    out = {}
+    for lid, key, lts in left:
+        best = None
+        for key_r, rts, rid, rv in right:
+            if key_r != key:
+                continue
+            ok = rts < lts if strict else rts <= lts
+            if ok and (best is None or (rts, rid) > (best[0], best[1])):
+                best = (rts, rid, rv)
+        out[lid] = (best[1], best[2]) if best else None
+    return out
+
+
+L = [
+    (1, "a", datetime(2024, 1, 1, 10, 0, 0)),
+    (2, "a", datetime(2024, 1, 1, 10, 5, 0)),
+    (3, "b", datetime(2024, 1, 1, 10, 0, 0)),
+    (4, "c", datetime(2024, 1, 1, 9, 0, 0)),  # no right row at all
+]
+R = [
+    ("a", datetime(2024, 1, 1, 9, 59, 0), 100, 1.0),
+    ("a", datetime(2024, 1, 1, 10, 0, 0), 101, 2.0),  # equal-ts to left 1
+    ("a", datetime(2024, 1, 1, 10, 4, 0), 102, 3.0),
+    ("b", datetime(2024, 1, 1, 8, 0, 0), 200, 4.0),
+]
+
+
+def _run(spark, strict):
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    left = _mk(spark, L, ["lid", "key", "ts"])
+    right = _mk(spark, R, ["key", "ts", "rid", "rv"])
+    out = asof_join(left, right, ["key"], "ts", ["rid", "rv"], strict=strict)
+    return {
+        r["lid"]: (None if r["asof"] is None else (r["asof"]["rid"], r["asof"]["rv"]))
+        for r in out.collect()
+    }
+
+
+def test_asof_at_or_before(spark):
+    got = _run(spark, strict=False)
+    want = _brute_asof([(l[0], l[1], l[2]) for l in L], R, strict=False)
+    assert got == want
+    assert got[1] == (101, 2.0)  # equal-ts right row IS eligible
+    assert got[4] is None
+
+
+def test_asof_strict(spark):
+    got = _run(spark, strict=True)
+    want = _brute_asof([(l[0], l[1], l[2]) for l in L], R, strict=True)
+    assert got == want
+    assert got[1] == (100, 1.0)  # equal-ts right row is NOT eligible
+
+
+def test_asof_tiebreak_deterministic(spark):
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    ts = datetime(2024, 1, 1, 10, 0, 0)
+    left = _mk(spark, [(1, "a", datetime(2024, 1, 1, 11, 0, 0))], ["lid", "key", "ts"])
+    right = _mk(
+        spark,
+        [("a", ts, 7, 1.0), ("a", ts, 9, 2.0), ("a", ts, 8, 3.0)],
+        ["key", "ts", "rid", "rv"],
+    )
+    out = asof_join(left, right, ["key"], "ts", ["rid", "rv"], tiebreak_col="rid")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["asof"]["rid"], rows[0]["asof"]["rv"]) == (9, 2.0)
+
+
+def test_asof_left_columns_preserved(spark):
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    left = _mk(spark, [(1, "a", datetime(2024, 1, 1), "extra")], ["lid", "key", "ts", "note"])
+    right = _mk(spark, [("a", datetime(2023, 12, 31), 1, 0.5)], ["key", "ts", "rid", "rv"])
+    out = asof_join(left, right, ["key"], "ts", ["rid", "rv"])
+    assert set(out.columns) == {"lid", "key", "ts", "note", "asof"}
+    r = out.collect()[0]
+    assert r["note"] == "extra" and r["asof"]["rid"] == 1
+
+
+def test_asof_single_exchange(spark):
+    """The executed plan must hash-partition on the key once and contain
+    no join operator at all (the union+window form) — a range/cartesian
+    join here would be the 100 TB killer."""
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    left = _mk(spark, L, ["lid", "key", "ts"])
+    right = _mk(spark, R, ["key", "ts", "rid", "rv"])
+    plan = (
+        asof_join(left, right, ["key"], "ts", ["rid", "rv"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
