@@ -66,6 +66,8 @@ def main() -> None:
             "txt_repetition",
             "dedup_span_shared",
             "decontaminate_ngram",
+            "dedup_clusters",
+            "asof_join",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -94,8 +96,9 @@ def main() -> None:
         # rewrites; 3 = r03 (adds dedup_simhash_h3; others unchanged);
         # 4 = r04 (adds sim_ann_ivf; others unchanged); 5 = r04 (adds
         # txt_repetition/dedup_span_shared/decontaminate_ngram corpus
-        # ops; others unchanged).
-        "query_rev": 5,
+        # ops; others unchanged); 6 = r04 (adds dedup_clusters/asof_join;
+        # others unchanged).
+        "query_rev": 6,
     }
     if asm is not None:
         out["doc_assembly"] = asm
