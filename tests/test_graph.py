@@ -79,6 +79,25 @@ def test_dedup_clusters_canonical_flags(spark):
     assert {d for d, r in rows.items() if r["is_canonical"]} == {3, 20}
 
 
+@pytest.mark.slow
+def test_large_random_graph_matches_union_find(spark):
+    """20k-node / 24k-edge pseudo-random graph (mix of a giant component,
+    many small ones, and a planted 2k-node anti-sorted path): the Spark
+    star contraction must agree with union-find exactly, within the
+    O(log^2 n) round budget."""
+
+    def rng(i):
+        x = i * 6364136223846793005 + 1442695040888963407
+        return (x ^ (x >> 31)) % (2**63)
+
+    edges = [((rng(i) % 20000), (rng(i * 11 + 5) % 20000)) for i in range(22000)]
+    path_ids = [(i * 977) % 2000 + 50000 for i in range(2000)]
+    edges += list(zip(path_ids, path_ids[1:]))
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _cc(spark, edges, max_iter=20)
+    assert got == _union_find(edges)
+
+
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):

@@ -94,6 +94,48 @@ def test_asof_left_columns_preserved(spark):
     assert r["note"] == "extra" and r["asof"]["rid"] == 1
 
 
+def test_asof_randomized_vs_brute_force(spark):
+    """Seeded pseudo-random case: 400 left / 300 right rows over 12 keys
+    with deliberate ts collisions (ts granularity 16) so the <= boundary
+    and multi-right-per-ts dedup both get exercised at volume."""
+    from datetime import timedelta
+
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    def rng(i):
+        return (i * 2654435761 + 40503) % (2**32)
+
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, f"k{rng(i) % 12}", base + timedelta(seconds=int(rng(i * 3 + 1) % 16) * 60))
+        for i in range(400)
+    ]
+    right = [
+        (f"k{rng(i * 5 + 2) % 12}", base + timedelta(seconds=int(rng(i * 7 + 3) % 16) * 60),
+         1000 + i, float(rng(i) % 97))
+        for i in range(300)
+    ]
+    # dedup right per (key, ts) keeping max rid — mirrors tiebreak_col="rid"
+    best = {}
+    for k, ts, rid, rv in right:
+        if (k, ts) not in best or rid > best[(k, ts)][0]:
+            best[(k, ts)] = (rid, rv)
+    right_dedup = [(k, ts, rid, rv) for (k, ts), (rid, rv) in best.items()]
+
+    ldf = _mk(spark, left, ["lid", "key", "ts"])
+    rdf = _mk(spark, right, ["key", "ts", "rid", "rv"])
+    out = asof_join(ldf, rdf, ["key"], "ts", ["rid", "rv"], tiebreak_col="rid")
+    got = {
+        r["lid"]: (None if r["asof"] is None else (r["asof"]["rid"], r["asof"]["rv"]))
+        for r in out.collect()
+    }
+    want = _brute_asof(left, right_dedup, strict=False)
+    assert got == want
+    assert len(got) == 400
+    # sanity: the case actually exercises matched rows at volume
+    assert sum(v is not None for v in got.values()) > 300
+
+
 def test_asof_single_exchange(spark):
     """The executed plan must hash-partition on the key once and contain
     no join operator at all (the union+window form) — a range/cartesian
