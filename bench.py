@@ -23,6 +23,31 @@ import sys
 import time
 
 
+def host_calibration() -> float:
+    """Fixed CPU probe (seconds, best-of-3): a 512x512 float64 BLAS
+    matmul chain plus a pure-Python hash loop. Emitted as
+    ``host_calib_sec`` so cross-round per-query comparisons can be
+    de-noised by the host's speed that day (this VM's co-tenancy windows
+    spread same-binary numbers up to ~2.5x; BENCH/BASELINE.md round-4
+    notes). Lower is faster; the number has no meaning on its own."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = a
+        for _ in range(8):
+            m = m @ a
+            m /= np.abs(m).max()
+        acc = 0
+        for i in range(200_000):
+            acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -99,6 +124,7 @@ def main() -> None:
         # ops; others unchanged); 6 = r04 (adds dedup_clusters/asof_join;
         # others unchanged).
         "query_rev": 6,
+        "host_calib_sec": host_calibration(),
     }
     if asm is not None:
         out["doc_assembly"] = asm
