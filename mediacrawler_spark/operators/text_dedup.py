@@ -12,9 +12,10 @@ shuffles are the ones the algorithm inherently needs:
   candidate join is equi-join on (band, band_hash): at 100 TB this is the
   only quadratic-risk step and it's bounded per bucket.
 - **SimHash**: per-token 64-bit hashes → 64 signed bit-sums (one
-  hash-aggregate) → Hamming-ball candidate pairs via 4×16-bit chunk
-  equality (any chunk equal ⇒ distance ≤ 3 possible) → verify with
-  ``bit_count(xor) <= d``.
+  hash-aggregate) → distinct-value collapse → Hamming-ball candidate
+  pairs via pigeonhole chunk equality with recursive sub-split of
+  over-cap buckets (exact recall at any cap) → verify with
+  ``bit_count(xor) <= d`` → expand values back to doc pairs.
 - **n-gram Jaccard**: exact verify used standalone on LSH candidates.
 """
 
@@ -100,7 +101,11 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int) -> DataFr
     (tiny vocabularies, boilerplate) produce mega-buckets that are pure
     noise. Capping is the standard LSH practice: an oversized bucket means
     that band carries no discriminating information, and true near-dup
-    pairs still collide in their other bands. Keeps the join linear."""
+    pairs still collide in their other bands. Keeps the join linear.
+    (MinHash-only since r5: simhash uses the recall-exact recursive
+    sub-split in :func:`_pigeonhole_value_pairs` instead — MinHash's
+    guarantee is probabilistic, so band-bucket truncation stays the
+    documented trade-off there.)"""
     ok = (
         buckets.groupBy(*keys)
         .agg(F.count("*").alias("_bsz"))
@@ -247,6 +252,138 @@ def simhash(
     return sums.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
 
+def _signed64(mask: int) -> int:
+    """Two's-complement view of a 64-bit mask so it fits a Spark LongType
+    literal (bitwiseAND is bit-identical on the signed representation)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def _chunk_masks(positions: list[int], n_chunks: int = 4) -> list[int]:
+    """Partition ``positions`` (bit indices) into ``n_chunks`` groups and
+    return one bitmask per group (remainder bits go to the leading
+    groups). Pigeonhole: ≤ n_chunks-1 differing bits ⇒ ≥ 1 clean group."""
+    out: list[int] = []
+    base, rem = divmod(len(positions), n_chunks)
+    i = 0
+    for c in range(n_chunks):
+        take = base + (1 if c < rem else 0)
+        m = 0
+        for p in positions[i : i + take]:
+            m |= 1 << p
+        i += take
+        out.append(m)
+    return out
+
+
+def _branch_cum_masks(n_bits: int, depth: int) -> list[list[int]]:
+    """Cumulative key masks of the pigeonhole sub-split tree.
+
+    Level 0 splits all n_bits into 4 chunks (4 branches). Each deeper
+    level re-splits every branch's *remaining* (un-keyed) bits into 4
+    more chunks, OR-ing them onto the parent's cumulative mask — level l
+    has 4^(l+1) branches and branch b's parent is b // 4. A pair within
+    hamming ≤ 3 that shares a bucket at level l has all its differing
+    bits outside the cumulative mask, so ≥ 1 of the 4 child chunks is
+    clean and the pair shares ≥ 1 child bucket: the guarantee survives
+    every split."""
+    all_pos = list(range(n_bits))
+    lvls: list[list[int]] = []
+    prev = [0]
+    for _ in range(depth):
+        cur: list[int] = []
+        for pm in prev:
+            rem = [p for p in all_pos if not (pm >> p) & 1]
+            cur.extend(pm | m for m in _chunk_masks(rem, 4))
+        lvls.append(cur)
+        prev = cur
+    return lvls
+
+
+def _pigeonhole_value_pairs(
+    vals: DataFrame, max_bucket: int, n_bits: int, depth: int = 3
+) -> DataFrame:
+    """Candidate pairs (va < vb as longs) of DISTINCT simhash values that
+    agree on at least one pigeonhole chunk — with over-cap buckets
+    sub-split instead of dropped, so candidate generation is COMPLETE for
+    hamming ≤ 3 (VERDICT r04 #1: the old ``_cap_buckets`` truncation
+    measured recall 0.64 at the production cap on boilerplate corpora).
+
+    Per level: bucket by (branch, simhash & cum_mask); buckets ≤
+    max_bucket self-join, over-cap buckets carry to the next level where
+    each member re-keys into the 4 child branches (children partition the
+    remaining bits, preserving the ≤3-differing-bits collision
+    guarantee — see :func:`_branch_cum_masks`). At the final level
+    everything joins — no truncation — so ``max_bucket`` is purely a
+    fan-out/perf knob, never a recall knob. Input is one row per DISTINCT
+    value (the caller collapses docs first), so a mega-group of identical
+    simhashes (e.g. empty docs) costs ONE row here, not a quadratic
+    bucket."""
+    lvl_masks = _branch_cum_masks(n_bits, depth)
+    cur = vals.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("branch"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(_signed64(m)).cast("long"))
+                        .alias("mval"),
+                    )
+                    for b, m in enumerate(lvl_masks[0])
+                ]
+            )
+        ).alias("x"),
+    ).select("simhash", "x.branch", "x.mval")
+    parts: list[DataFrame] = []
+    for lvl in range(depth):
+        if lvl == depth - 1:
+            # final level: join every bucket (completeness over truncation)
+            parts.append(cur.withColumn("lvl", F.lit(lvl)))
+            break
+        sizes = cur.groupBy("branch", "mval").agg(F.count("*").alias("_bsz"))
+        ok = sizes.filter(F.col("_bsz") <= max_bucket).select("branch", "mval")
+        parts.append(cur.join(ok, ["branch", "mval"]).withColumn("lvl", F.lit(lvl)))
+        over = sizes.filter(F.col("_bsz") > max_bucket).select("branch", "mval")
+        carried = cur.join(over, ["branch", "mval"]).select("simhash", "branch")
+        children = F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p * 4 + j).alias("branch"),
+                            F.lit(_signed64(lvl_masks[lvl + 1][p * 4 + j]))
+                            .cast("long")
+                            .alias("mask"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+                for p in range(len(lvl_masks[lvl]))
+            ]
+        )
+        cur = (
+            carried.select(
+                "simhash",
+                F.explode(F.element_at(children, F.col("branch") + 1)).alias("c"),
+            )
+            .select(
+                "simhash",
+                F.col("c.branch").alias("branch"),
+                F.col("simhash").bitwiseAND(F.col("c.mask")).alias("mval"),
+            )
+        )
+    allb = reduce(DataFrame.unionByName, parts)
+    a = allb.select("lvl", "branch", "mval", F.col("simhash").alias("va"))
+    b = allb.select("lvl", "branch", "mval", F.col("simhash").alias("vb"))
+    return (
+        a.join(b, on=["lvl", "branch", "mval"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .dropDuplicates(["va", "vb"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -256,42 +393,44 @@ def simhash_pairs(
     n_bits: int = 64,
     token_hash=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — EXACT
+    recall at every ``max_bucket`` setting (the cap is a perf knob only).
 
-    Pigeonhole: split n_bits into 4 chunks; distance ≤ 3 ⇒ at least
-    one chunk identical → candidate generation is 4 equi-joins (one per
-    chunk), then exact verify with bit_count(xor)."""
-    chunk_bits = n_bits // 4
-    chunk_mask = (1 << chunk_bits) - 1
-    s = simhash(df, id_col, text_col, n_bits=n_bits, token_hash=token_hash)
-    chunks = s.select(
-        F.col(id_col).alias("id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * chunk_bits)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("ck"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("x"),
-    ).select("id", "simhash", "x.chunk", "x.ck")
-    chunks = _cap_buckets(chunks, ["chunk", "ck"], max_bucket)
-    a = chunks.select("chunk", "ck", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = chunks.select("chunk", "ck", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    cand = (
-        a.join(b, on=["chunk", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    Pipeline: simhash per doc → collapse to DISTINCT values (identical
+    docs cost one candidate row) → pigeonhole candidate value pairs with
+    recursive over-cap sub-split (:func:`_pigeonhole_value_pairs`) →
+    verify bit_count(xor) ≤ d on value pairs → expand back to doc pairs
+    (cross-value via two equi-joins on the value; intra-value groups are
+    hamming-0 pairs by construction). All stages JVM-side; the only
+    output-quadratic step is the intra-value expansion, whose size equals
+    the true duplicate-pair count."""
+    s = simhash(df, id_col, text_col, n_bits=n_bits, token_hash=token_hash).select(
+        F.col(id_col).alias("id"), "simhash"
     )
-    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", dist)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    vals = s.select("simhash").distinct()
+    cand = _pigeonhole_value_pairs(vals, max_bucket, n_bits)
+    vpairs = cand.withColumn(
+        "hamming", F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
+    ).filter(F.col("hamming") <= max_hamming)
+    ma = s.select(F.col("simhash").alias("va"), F.col("id").alias("ia"))
+    mb = s.select(F.col("simhash").alias("vb"), F.col("id").alias("ib"))
+    cross = (
+        vpairs.join(ma, "va")
+        .join(mb, "vb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
     )
+    intra = (
+        s.select("simhash", F.col("id").alias("ia"))
+        .join(s.select("simhash", F.col("id").alias("ib")), "simhash")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).select("id_a", "id_b", "hamming")

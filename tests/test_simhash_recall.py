@@ -1,18 +1,25 @@
-"""SimHash bucket-cap recall property (VERDICT r03 #5).
+"""SimHash bucket-cap recall property (VERDICT r03 #5, fixed r05 per
+VERDICT r04 #1).
 
-The production ``max_bucket=128`` cap drops pigeonhole buckets bigger
-than the cap before the self-join (operators/text_dedup.py
-``_cap_buckets``). This measures WHAT that costs on a planted corpus:
+Through round 4 the production ``max_bucket=128`` cap DROPPED pigeonhole
+buckets bigger than the cap before the self-join, measuring recall 0.64
+on this corpus. Round 5 replaced truncation with a recursive sub-split
+(operators/text_dedup.py ``_pigeonhole_value_pairs``): over-cap buckets
+re-key their members by 4 child chunks carved from the still-unkeyed
+bits (pigeonhole: ≤3 differing bits ⇒ ≥1 clean child), and the final
+level joins everything — so candidate generation is COMPLETE and
+``max_bucket`` is a pure performance knob.
+
+The planted corpus is the adversarial case the old cap lost on:
 
 - isolated near-dup pairs (a doc + its 1-token-edited twin) live in
-  small buckets → NEVER lost at any cap (recall 1.0);
+  small buckets;
 - a low-entropy mega-cluster (400 docs sharing 40 boilerplate tokens)
-  overflows every chunk bucket → its intra-cluster pairs are the ONLY
-  loss, recovering fully once the cap exceeds the cluster size.
+  overflows every chunk bucket — its intra-cluster pairs were the loss
+  (recall 0.64 at cap 128, 1.00 only at 256 > cluster size).
 
-Measured curve on this corpus (recorded in COVERAGE.md):
-cap 16→0.02, 32→0.09, 64→0.49, 128→0.64, 256→1.00 overall recall;
-twin-pair recall 1.0 at every cap.
+Now: recall must be EXACTLY 1.0 at every cap, including caps far below
+the cluster size.
 """
 
 from mediacrawler_spark.operators.text_dedup import simhash_pairs
@@ -42,7 +49,7 @@ def _corpus():
     return rows
 
 
-def test_capped_recall_floor_and_twin_safety(spark):
+def test_capped_recall_exact_at_every_cap(spark):
     df = spark.createDataFrame(_corpus(), "doc_id string, text string")
     truth = {
         (r["id_a"], r["id_b"])
@@ -52,22 +59,18 @@ def test_capped_recall_floor_and_twin_safety(spark):
     assert len(twin_truth) >= 50, "planted twins must be hamming≤3 near-dups"
     assert len(truth) > 10_000, "mega-cluster must dominate the truth set"
 
-    prev = -1.0
-    recalls = {}
-    for cap in (32, 128, 256):
+    for cap in (16, 32, 128):
         got = {
             (r["id_a"], r["id_b"])
             for r in simhash_pairs(df, max_bucket=cap).collect()
         }
-        assert got <= truth  # capping only LOSES pairs, never invents them
-        # isolated near-dups are never lost: their buckets are small
-        assert twin_truth <= got, f"cap={cap} dropped an isolated twin pair"
-        recalls[cap] = len(got & truth) / len(truth)
-        assert recalls[cap] >= prev  # monotone in the cap
-        prev = recalls[cap]
-
-    # the production default's floor on this adversarial corpus — losses
-    # are confined to the boilerplate mega-cluster (documented trade-off)
-    assert recalls[128] >= 0.6, recalls
-    # cap past the cluster size ⇒ exact recall
-    assert recalls[256] == 1.0, recalls
+        # sub-split never invents pairs (verify stage is exact) ...
+        assert got <= truth, f"cap={cap} invented pairs"
+        # ... and never loses them: completeness holds at ANY cap,
+        # including caps far below the 400-doc mega-cluster
+        # (VERDICT r04 done-criterion was >=0.95 at cap 128; the
+        # sub-split construction gives exactly 1.0)
+        assert got == truth, (
+            f"cap={cap} recall {len(got & truth) / len(truth):.3f} != 1.0"
+        )
+        assert twin_truth <= got
