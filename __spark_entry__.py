@@ -594,7 +594,14 @@ def q_dedup_clusters(spark, sf):
     large-star/small-star connected components (operators/graph.py), so
     a keep-one-per-cluster filter can run. The DuckDB oracle recomputes
     exact Jaccard>=0.8 pairs and takes components via a recursive-CTE
-    min-label fixpoint — fully independent of the star contraction."""
+    min-label fixpoint — fully independent of the star contraction.
+
+    Cluster membership is only as complete as LSH candidate recall: one
+    missed edge can split a component, so the correctness query lifts
+    the band-bucket cap (max_bucket=1<<20; production keeps the default
+    — ADVICE r04). Band collisions themselves remain probabilistic; at
+    threshold 0.8 with 16 bands x 4 rows the miss rate is ~(1-0.8^4)^16
+    ~= 2e-4 per pair, which the sf0.01 fixture doesn't hit."""
     from mediacrawler_spark.operators.graph import dedup_clusters
     from mediacrawler_spark.operators.text_dedup import (
         minhash_lsh_pairs,
@@ -602,9 +609,40 @@ def q_dedup_clusters(spark, sf):
     )
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    cand = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(d, threshold=0.5, max_bucket=1 << 20).select(
+        "id_a", "id_b"
+    )
     pairs = ngram_jaccard_pairs(d, cand, threshold=0.8).select("id_a", "id_b")
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+def q_dedup_keep_canonical(spark, sf):
+    """The full dedup story a training pipeline actually executes
+    (VERDICT r04 #5): pairs → clusters → FILTERED CORPUS. Keeps every
+    document that is either outside any near-dup cluster or its
+    cluster's canonical (min-id) member, dropping the rest via one
+    left_anti join on the non-canonical id set. The DuckDB oracle
+    rebuilds the exact Jaccard>=0.8 clusters with the recursive-CTE
+    min-label fixpoint and applies the same keep rule — so the kept doc
+    SET (not just counts) is pinned end-to-end."""
+    from mediacrawler_spark.operators.graph import dedup_clusters
+    from mediacrawler_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cand = minhash_lsh_pairs(d, threshold=0.5, max_bucket=1 << 20).select(
+        "id_a", "id_b"
+    )
+    pairs = ngram_jaccard_pairs(d, cand, threshold=0.8).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    return (
+        d.join(drop, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
+    )
 
 
 def q_asof_join(spark, sf):
@@ -922,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
         "asof_join": q_asof_join,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1283,9 +1322,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(inj,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(inj,
+                   -- audit counts mirror the scrub's sequential passes:
+                   -- IPs counted AFTER email redaction, phones after both
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(inj,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-                   CAST(len(regexp_extract_all(inj,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(regexp_replace(inj,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS BIGINT) AS n_phones,
                    md5(regexp_replace(regexp_replace(regexp_replace(inj,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -1326,6 +1372,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sz.n AS BIGINT) AS cluster_size,
                    cc.id = cc.cluster_id AS is_canonical
             FROM cc JOIN sz USING (cluster_id)
+            ORDER BY doc_id
+        """,
+        "dedup_keep_canonical": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+            cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
             ORDER BY doc_id
         """,
         "asof_join": """

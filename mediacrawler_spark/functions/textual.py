@@ -131,11 +131,21 @@ PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"
 
 def pii_counts(col: Column) -> tuple[Column, Column, Column]:
     """(n_emails, n_ips, n_phones) match counts — the audit face of the
-    scrubber; all JVM-side regexp_extract_all."""
+    scrubber; all JVM-side regexp_extract_all.
+
+    Counts mirror :func:`pii_scrub`'s sequential replacement exactly
+    (ADVICE r04): emails are counted on the raw text, IPs on the text
+    AFTER email redaction, phones after both — so on overlapping matches
+    (e.g. an IPv4-shaped segment inside an email's domain) the audit
+    counts equal the placeholders the scrubber actually emits. The
+    placeholder tags contain no digits or '@', so redaction can never
+    CREATE a later-pattern match."""
+    after_email = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
     return (
         F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
-        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
-        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0))),
+        F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE), F.lit(0))),
     )
 
 

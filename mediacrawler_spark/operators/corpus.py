@@ -123,6 +123,12 @@ def decontaminate(
     grams per doc (the filter every public LLM pipeline runs before
     training).
 
+    Grams are matched on NORMALIZED text on both sides — lowercased and
+    punctuation-stripped via ``tokens()`` inside ``word_ngrams`` (the
+    DuckDB oracle applies the identical lower + non-alnum split) — so
+    cosmetic case/punctuation variants of an eval passage still count
+    as contamination (pinned in tests/test_corpus.py).
+
     The benchmark's distinct gram set is broadcast — eval suites are
     orders of magnitude smaller than the corpus, so the 100 TB side
     streams through a broadcast hash join with zero shuffle; only the
@@ -153,9 +159,11 @@ def stratified_sample(
     salt_splits: int = 8,
 ) -> DataFrame:
     """Deterministic stratified sample: the k smallest rows per stratum
-    under (order_col, tiebreak on the remaining order) — hash the key
-    into order_col upstream for a uniform pseudo-random draw that is
-    exactly reproducible on both engines.
+    under ``order_col``. REQUIREMENT: ``order_col`` must be unique per
+    stratum (hash the row key into it upstream — e.g. md5(doc_id) — for
+    a uniform pseudo-random draw); both ranking windows order by it
+    alone, so ties would make row_number nondeterministic across engines
+    (ADVICE r04 — all callers use per-row hash draws).
 
     Two-phase salted top-k (politeness-scheduler shape): phase 1 ranks
     within (strata, salt) so a hot stratum is pruned to salt_splits*k

@@ -55,8 +55,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
-    """(id, component) for every node that appears in ``edges``, with
-    component = the minimum node id of its connected component.
+    """(id, component) for every node that appears in a NON-self-loop
+    edge, with component = the minimum node id of its connected
+    component. Self-loops are dropped up front, so a node whose only
+    edges are self-loops is not reported (it carries no dedup
+    information; tests/test_graph.py pins the drop).
 
     Alternates large-star / small-star until the edge set is a fixed
     point (then it is exactly the forest of depth-1 stars rooted at each

@@ -114,3 +114,43 @@ def test_pii_scrub_and_counts(spark):
     assert out[2][:3] == (0, 0, 1)
     assert out[2][3] == "call <PHONE> or nothing"
     assert out[3] == (0, 0, 0, "clean text")
+
+
+def test_pii_counts_match_emitted_placeholders_on_overlap(spark):
+    """Overlapping matches (ADVICE r04): an IPv4-shaped segment inside an
+    email's domain is consumed by the email pass, so the audit must NOT
+    also count it as an IP — counts equal the placeholders pii_scrub
+    actually emits."""
+    from mediacrawler_spark.functions.textual import pii_counts, pii_scrub
+
+    rows = [(1, "contact a@1.2.3.4.com or 5.6.7.8 now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    e, i, p = pii_counts(F.col("text"))
+    r = df.select(
+        e.alias("e"), i.alias("i"), p.alias("p"), pii_scrub(F.col("text")).alias("s")
+    ).collect()[0]
+    assert r["s"] == "contact <EMAIL> or <IP> now"
+    # old raw-text counting said i == 2 (counted 1.2.3.4 inside the email)
+    assert (r["e"], r["i"], r["p"]) == (1, 1, 0)
+    assert r["s"].count("<EMAIL>") == r["e"] and r["s"].count("<IP>") == r["i"]
+
+
+def test_decontaminate_normalizes_case_and_punct(spark):
+    """Eval grams are matched on normalized text — lowercase, punctuation
+    stripped (tokens() applies both) — so cosmetic variants of a
+    benchmark passage still count as contamination (VERDICT r04 #6)."""
+    from mediacrawler_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "The Quick Brown Fox Jumps Over It")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "...the QUICK, brown fox; jumps!! over it..."),  # variant: caught
+            (2, "a quick brown dog sits under it"),  # shares no 4-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_contaminated"] for r in decontaminate(corpus, bench, n=4).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got

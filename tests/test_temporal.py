@@ -150,3 +150,91 @@ def test_asof_single_exchange(spark):
     )
     assert "Join" not in plan and "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_reserved_names_rejected(spark):
+    """Inputs carrying the output name 'asof' or an internal working
+    column must be rejected up front (ADVICE r04: previously produced
+    duplicate/ambiguous output columns silently)."""
+    import pytest
+
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    left_bad = _mk(spark, [(1, "a", datetime(2024, 1, 1), 9)], ["lid", "key", "ts", "asof"])
+    right = _mk(spark, [("a", datetime(2023, 12, 31), 1, 0.5)], ["key", "ts", "rid", "rv"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left_bad, right, ["key"], "ts", ["rid", "rv"])
+
+    left = _mk(spark, [(1, "a", datetime(2024, 1, 1))], ["lid", "key", "ts"])
+    right_bad = _mk(spark, [("a", datetime(2023, 12, 31), 1)], ["key", "ts", "_rpay"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right_bad, ["key"], "ts", ["_rpay"])
+
+
+def test_asof_bucketed_matches_unbucketed(spark):
+    """The mega-key guard (bucket_width) must return byte-identical
+    results to the single-window form on the randomized collision-heavy
+    case — including strict mode and matches that cross bucket
+    boundaries (tiny width forces many crossings)."""
+    from datetime import timedelta
+
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    def rng(i):
+        return (i * 2654435761 + 40503) % (2**32)
+
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, f"k{rng(i) % 12}", base + timedelta(seconds=int(rng(i * 3 + 1) % 16) * 60))
+        for i in range(400)
+    ]
+    right = [
+        (f"k{rng(i * 5 + 2) % 12}", base + timedelta(seconds=int(rng(i * 7 + 3) % 16) * 60),
+         1000 + i, float(rng(i) % 97))
+        for i in range(300)
+    ]
+    ldf = _mk(spark, left, ["lid", "key", "ts"])
+    rdf = _mk(spark, right, ["key", "ts", "rid", "rv"])
+    for strict in (False, True):
+        base_out = {
+            r["lid"]: (None if r["asof"] is None else (r["asof"]["rid"], r["asof"]["rv"]))
+            for r in asof_join(
+                ldf, rdf, ["key"], "ts", ["rid", "rv"], strict=strict, tiebreak_col="rid"
+            ).collect()
+        }
+        # 130s buckets: not aligned to the 60s ts grid -> boundary crossings
+        bkt_out = {
+            r["lid"]: (None if r["asof"] is None else (r["asof"]["rid"], r["asof"]["rv"]))
+            for r in asof_join(
+                ldf, rdf, ["key"], "ts", ["rid", "rv"], strict=strict,
+                tiebreak_col="rid", bucket_width=130,
+            ).collect()
+        }
+        assert bkt_out == base_out
+
+
+def test_asof_mega_key_bucketed(spark):
+    """One key holding 10^6 left rows (VERDICT r04 #7): the bucketed
+    form must produce the analytically-known answer with the hot group
+    split across many parallel bucket windows, the carry join broadcast,
+    and no sort-merge/cartesian join anywhere."""
+    from mediacrawler_spark.operators.temporal import asof_join
+
+    n = 1_000_000
+    left = spark.range(n).select(
+        F.col("id").alias("lid"), F.lit("hot").alias("key"), F.col("id").alias("ts")
+    )
+    right = spark.range(n // 1000).select(
+        (F.col("id") * 1000).alias("rid_ts"), F.lit("hot").alias("key")
+    ).select("key", F.col("rid_ts").alias("ts"), F.col("rid_ts").alias("rid"))
+    out = asof_join(left, right, ["key"], "ts", ["rid"], bucket_width=977)
+    # ground truth: asof.rid == floor(ts/1000)*1000 for every left row
+    mism = out.filter(
+        F.col("asof").isNull() | (F.col("asof.rid") != (F.floor(F.col("ts") / 1000) * 1000))
+    ).count()
+    assert mism == 0
+    assert out.count() == n
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
