@@ -5,11 +5,8 @@ startup / maintenance parses are O(max_lines), not O(epochs)."""
 import json
 import os
 
-from mediacrawler_spark.oracle import CrawlOracle
-from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
+from mediacrawler_spark.plans.epoch import CrawlEngine
 from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
-
-CFG = EngineConfig(max_comments_per_note=25, max_epochs=80)
 
 
 def test_committed_epoch_is_cached_not_reparsed(spark, tmp_path):
@@ -47,38 +44,28 @@ def test_roll_log_checkpoints_and_resumes(spark, tmp_path):
     assert cat2.fsck() == []
 
 
-def test_engine_resume_across_roll_matches_oracle(spark, udfs, universe, tmp_path):
+def test_engine_resume_across_roll_matches_reference(
+    spark, udfs, crawl_cfg, partial_crawl, mid_crawl_ref, snapshot_state, tmp_path
+):
     """Kill after epoch k, roll the log to its checkpoint tail, resume —
-    final seen set and documents still match the oracle (VERDICT r03 #1
-    'done' criterion)."""
-    root = str(tmp_path / "snap_roll_e2e")
-    eng1 = CrawlEngine(
-        spark, SnapshotCatalog(spark, root), udfs["pages"], udfs["robots"],
-        udfs["politeness"], CFG,
-    )
-    eng1.run(udfs["seeds"], max_epochs=2)
-    assert eng1.catalog.roll_log(keep=2, max_lines=0) is True
+    the next epochs must land in the byte-identical state an UNROLLED
+    resume reaches (VERDICT r03 #1 'done' criterion). State equality at
+    epoch 3 (seen set, docs, per-host fetch order, pending frontier)
+    pins full-run equality because the engine is deterministic; the
+    unperturbed arm of this comparison is itself oracle-matched to
+    completion by the e2e suite (conftest full_crawl)."""
+    import shutil
 
-    cat2 = SnapshotCatalog(spark, root)
+    root = str(tmp_path / "snap_roll_e2e")
+    shutil.copytree(partial_crawl["root"], root)
+    assert SnapshotCatalog(spark, root).roll_log(keep=2, max_lines=0) is True
+
     eng2 = CrawlEngine(
-        spark, cat2, udfs["pages"], udfs["robots"], udfs["politeness"], CFG
+        spark, SnapshotCatalog(spark, root), udfs["pages"], udfs["robots"],
+        udfs["politeness"], crawl_cfg,
     )
-    eng2.run(None)
-    oracle = CrawlOracle(
-        universe.pages, universe.robots, universe.politeness,
-        default_budget=CFG.default_budget,
-        comments_per_page=CFG.comments_per_page,
-        max_comments_per_note=CFG.max_comments_per_note,
-        epoch_ts=CFG.epoch_ts,
-    ).run(universe.seeds)
-    assert {r["url"] for r in cat2.read("seen").collect()} == oracle.seen
-    got_docs = {
-        r["doc_id"]: [
-            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
-        ]
-        for r in eng2.documents().collect()
-    }
-    assert got_docs == oracle.documents
+    eng2.run(None, max_epochs=2)
+    assert snapshot_state(eng2) == mid_crawl_ref
 
 
 def test_torn_tail_then_new_commits_survive(spark, tmp_path):

@@ -216,17 +216,12 @@ def test_prune_appends_drops_old_single_epoch_artifacts(spark, tmp_path):
     assert cat2.fsck() == []
 
 
-def test_engine_maintenance_prunes_admitted_fetched(spark, universe, udfs, tmp_path):
+def test_engine_maintenance_prunes_admitted_fetched(full_crawl):
     """After an e2e run whose maintenance cycle fired, only the tail
-    window of admitted/fetched increments survives on disk."""
-    root = str(tmp_path / "snap_prune_e2e")
-    cfg = EngineConfig(max_comments_per_note=25, max_epochs=80)
-    cat = SnapshotCatalog(spark, root)
-    eng = CrawlEngine(
-        spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], cfg
-    )
-    res = eng.run(udfs["seeds"])
-    last = res.epochs[-1].epoch
+    window of admitted/fetched increments survives on disk (inspects the
+    shared canonical run — read-only assertions)."""
+    cat = full_crawl["eng"].catalog
+    last = full_crawl["epochs"][-1].epoch
     assert last >= 7, "run must cross a maintenance cycle (epoch 7)"
     for t in ("admitted", "fetched"):
         labs = [str(x) for x in cat._appends[t]]

@@ -4,7 +4,10 @@ The three BASELINE.json correctness criteria:
 1. crawl-ordering match rate == 1.0 (per-host fetch sequences),
 2. final URL-seen set exactly equal,
 3. span-sequence equality per document (the per-row invariant).
-Plus: resume-from-snapshot equivalence (kill after epoch k).
+Plus: resume-from-snapshot equivalence — asserted STRUCTURALLY: the
+shared ``full_crawl`` fixture (conftest) is constructed by resuming a
+2-epoch prefix with fresh engine/catalog objects, so every oracle
+comparison below runs over the resume path.
 """
 
 import pytest
@@ -15,17 +18,6 @@ from mediacrawler_spark.plans.epoch import CrawlEngine, EngineConfig
 from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
 
 CFG = EngineConfig(max_comments_per_note=25, max_epochs=80)
-
-
-@pytest.fixture(scope="module")
-def engine_result(spark, universe, udfs, tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("snap_e2e"))
-    cat = SnapshotCatalog(spark, root)
-    eng = CrawlEngine(
-        spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], CFG
-    )
-    res = eng.run(udfs["seeds"])
-    return eng, res
 
 
 @pytest.fixture(scope="module")
@@ -42,16 +34,14 @@ def oracle_result(universe):
     return o.run(universe.seeds)
 
 
-def test_seen_set_exact_equality(engine_result, oracle_result):
-    eng, _ = engine_result
-    got = {r["url"] for r in eng.catalog.read("seen").collect()}
+def test_seen_set_exact_equality(full_crawl, oracle_result):
+    got = {r["url"] for r in full_crawl["eng"].catalog.read("seen").collect()}
     assert got == oracle_result.seen
 
 
-def test_crawl_ordering_match(engine_result, oracle_result):
-    eng, _ = engine_result
+def test_crawl_ordering_match(full_crawl, oracle_result):
     log = (
-        eng.fetch_log()
+        full_crawl["eng"].fetch_log()
         .orderBy("host", "epoch", "host_rank")
         .select("host", "url", "epoch", "kind")
         .collect()
@@ -70,22 +60,20 @@ def test_crawl_ordering_match(engine_result, oracle_result):
     )
 
 
-def test_span_sequence_equality(engine_result, oracle_result):
-    eng, _ = engine_result
+def test_span_sequence_equality(full_crawl, oracle_result):
     got = {
         r["doc_id"]: [
             (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
         ]
-        for r in eng.documents().collect()
+        for r in full_crawl["eng"].documents().collect()
     }
     assert set(got) == set(oracle_result.documents)
     for doc_id, want in oracle_result.documents.items():
         assert got[doc_id] == want, f"span mismatch in {doc_id}"
 
 
-def test_fetch_counts_match(engine_result, oracle_result):
-    _, res = engine_result
-    assert res.total_fetched == oracle_result.total_fetched
+def test_fetch_counts_match(full_crawl, oracle_result):
+    assert full_crawl["total_fetched"] == oracle_result.total_fetched
 
 
 def test_mandatory_cases_exercised(oracle_result, universe):
@@ -108,45 +96,36 @@ def test_mandatory_cases_exercised(oracle_result, universe):
     )
 
 
-def test_resume_equivalence(spark, udfs, universe, tmp_path):
-    root = str(tmp_path / "snap_resume")
-    cat = SnapshotCatalog(spark, root)
-    eng1 = CrawlEngine(spark, cat, udfs["pages"], udfs["robots"], udfs["politeness"], CFG)
-    eng1.run(udfs["seeds"], max_epochs=2)
-    assert cat.committed_epoch() == 1
-    # fresh engine + catalog objects — only the on-disk snapshot carries over
-    eng2 = CrawlEngine(
-        spark, SnapshotCatalog(spark, root), udfs["pages"], udfs["robots"], udfs["politeness"], CFG
-    )
-    eng2.run(None)
-
-    oracle = CrawlOracle(
-        universe.pages, universe.robots, universe.politeness,
-        default_budget=CFG.default_budget,
-        comments_per_page=CFG.comments_per_page,
-        max_comments_per_note=CFG.max_comments_per_note,
-        epoch_ts=CFG.epoch_ts,
-    ).run(universe.seeds)
-    got_seen = {r["url"] for r in eng2.catalog.read("seen").collect()}
-    assert got_seen == oracle.seen
-    got_docs = {
-        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-        for r in eng2.documents().collect()
-    }
-    assert got_docs == oracle.documents
+def test_resume_equivalence(partial_crawl, full_crawl, oracle_result):
+    """Kill-after-epoch-1 equivalence. The shared full_crawl IS the
+    resumed run (fresh engine + catalog over a copy of the 2-epoch
+    prefix — only the on-disk snapshot carries over), so this pins the
+    construction: the prefix committed exactly epochs 0-1, the resumed
+    engine continued from epoch 2, and the combined result equals the
+    uninterrupted oracle (seen/docs equality is asserted above over the
+    same resumed engine)."""
+    prefix_epochs = [st.epoch for st in partial_crawl["res"].epochs]
+    assert prefix_epochs == [0, 1]
+    resumed = [st.epoch for st in full_crawl["resumed_epochs"]]
+    assert resumed and resumed[0] == 2
+    assert full_crawl["total_fetched"] == oracle_result.total_fetched
 
 
-def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
-    """Regression (ADVICE r01, medium): a 471 on a host absent from the
-    politeness table must still quarantine that host. The left-join pol
-    build dropped such quarantine rows, so the engine kept fetching while
-    the oracle deferred — breaking fetch-order/seen equality."""
+# ----------------------------------------- quarantine lifecycle (471) ----
+@pytest.fixture(scope="module")
+def quarantine_run(spark, tmp_path_factory):
+    """ONE 102-note crawl exercising BOTH quarantine regressions
+    (previously two separate full runs): the 471 page's host has NO
+    politeness row (ADVICE r01: the left-join pol build used to drop such
+    quarantine rows) and the run continues past every quarantine's expiry
+    so the commit-time prune can be asserted (VERDICT r03 #2). The 471
+    note sits beyond the 1-page search listings, so it is seeded directly
+    (S2 specified-URL seed)."""
+    import pandas as pd
+
     from mediacrawler_spark.fixtures import UniverseParams, build_universe
     from mediacrawler_spark.schemas import (
-        PAGES_SCHEMA,
-        POLITENESS_SCHEMA,
-        ROBOTS_SCHEMA,
-        SEEDS_SCHEMA,
+        PAGES_SCHEMA, POLITENESS_SCHEMA, ROBOTS_SCHEMA, SEEDS_SCHEMA,
     )
 
     # n_notes > 101 so the i%101==100 blocked-471 page exists
@@ -161,10 +140,6 @@ def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
     assert blocked_hosts, "fixture must contain a 471 page"
     pol_pruned = u.politeness[~u.politeness["host"].isin(blocked_hosts)]
     assert len(pol_pruned) < len(u.politeness)
-    # The 471 note is beyond the 1-page search listings — seed it directly
-    # (S2 specified-URL seed) so the quarantine actually fires.
-    import pandas as pd
-
     seeds = pd.concat(
         [
             u.seeds,
@@ -178,12 +153,10 @@ def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
         ],
         ignore_index=True,
     )
-
     cfg = EngineConfig(max_comments_per_note=10, max_epochs=80)
-    cat = SnapshotCatalog(spark, str(tmp_path / "snap_quar"))
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("snap_quar") / "cat"))
     eng = CrawlEngine(
-        spark,
-        cat,
+        spark, cat,
         spark.createDataFrame(u.pages, PAGES_SCHEMA),
         spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
         spark.createDataFrame(pol_pruned, POLITENESS_SCHEMA),
@@ -197,28 +170,74 @@ def test_quarantine_on_host_without_politeness_row(spark, tmp_path):
         max_comments_per_note=cfg.max_comments_per_note,
         epoch_ts=cfg.epoch_ts,
     ).run(seeds)
-    # the blocked URL must actually have been fetched (quarantine fired)
+
+    # state at completion (before the expiry-drive below)
+    fetch_log = [
+        (r["host"], r["url"], r["epoch"], r["kind"], r["status"])
+        for r in eng.fetch_log()
+        .orderBy("host", "epoch", "host_rank")
+        .select("host", "url", "epoch", "kind", "status")
+        .collect()
+    ]
+    q = cat.read("quarantine")
+    quarantine_rows = q.collect() if q is not None else []
+    seen_done = {r["url"] for r in cat.read("seen").collect()}
+
+    # drive a few empty epochs past the last quarantine's expiry
+    for _ in range(3):
+        eng.run(None, max_epochs=1)
+    final_q = cat.read("quarantine")
+    final_hosts = (
+        {r["host"] for r in final_q.collect()} if final_q is not None else set()
+    )
+    seen_final = {r["url"] for r in cat.read("seen").collect()}
+
+    return {
+        "blocked_urls": set(blocked_urls),
+        "res": res,
+        "oracle": oracle,
+        "fetch_log": fetch_log,
+        "quarantine_rows": quarantine_rows,
+        "seen_done": seen_done,
+        "final_hosts": final_hosts,
+        "seen_final": seen_final,
+        "last_epoch": res.epochs[-1].epoch,
+    }
+
+
+def test_quarantine_on_host_without_politeness_row(quarantine_run):
+    """Regression (ADVICE r01, medium): a 471 on a host absent from the
+    politeness table must still quarantine that host — the engine's
+    fetch order/seen set must match the oracle, which defers the host."""
+    r = quarantine_run
     blocked_fetch_epochs = [
         ep
-        for fs in oracle.fetch_order.values()
+        for fs in r["oracle"].fetch_order.values()
         for (url, ep, _k) in fs
-        if url in set(blocked_urls)
+        if url in r["blocked_urls"]
     ]
     assert blocked_fetch_epochs, "471 page must be exercised for this test to bite"
-
-    got_seen = {r["url"] for r in cat.read("seen").collect()}
-    assert got_seen == oracle.seen
-    log = (
-        eng.fetch_log()
-        .orderBy("host", "epoch", "host_rank")
-        .select("host", "url", "epoch", "kind")
-        .collect()
-    )
+    assert r["seen_done"] == r["oracle"].seen
     got: dict[str, list] = {}
-    for r in log:
-        got.setdefault(r["host"], []).append((r["url"], r["epoch"], r["kind"]))
-    assert got == oracle.fetch_order
-    assert res.total_fetched == oracle.total_fetched
+    for host, url, ep, kind, _status in r["fetch_log"]:
+        got.setdefault(host, []).append((url, ep, kind))
+    assert got == r["oracle"].fetch_order
+    assert r["res"].total_fetched == r["oracle"].total_fetched
+
+
+def test_quarantine_table_pruned_to_active(quarantine_run):
+    """VERDICT r03 #2: the committed quarantine table holds only ACTIVE
+    rows (until > last epoch) — hosts quarantined early in the crawl must
+    not be carried and rewritten forever after expiry."""
+    r = quarantine_run
+    blocked = {h for (h, _u, _e, _k, status) in r["fetch_log"] if status in (471, 461)}
+    assert blocked, "universe must exercise the quarantine path"
+    # every committed row is ACTIVE (expired ones were dropped at commit)
+    assert all(row["quarantined_until"] > r["last_epoch"] for row in r["quarantine_rows"])
+    # after the expiry drive the blocked host's row is gone
+    assert not r["final_hosts"] & blocked
+    # prune is mirrored on both sides: seen set still matches the oracle
+    assert r["seen_final"] == r["oracle"].seen
 
 
 def test_max_pages_per_chain_boundary(spark, tmp_path):
@@ -271,19 +290,18 @@ def test_max_pages_per_chain_boundary(spark, tmp_path):
     assert max(pages_fetched) == cap, f"chain ran past the cap: {pages_fetched}"
 
 
-def test_lineage_written(engine_result):
-    eng, res = engine_result
-    lin = eng.catalog.read("lineage")
+def test_lineage_written(full_crawl):
+    lin = full_crawl["eng"].catalog.read("lineage")
     assert lin is not None
     total = lin.agg(F.sum("fetch_count").alias("s")).collect()[0]["s"]
-    assert total == res.total_fetched
+    assert total == full_crawl["total_fetched"]
 
 
-def test_lineage_per_partition_attribution(engine_result):
+def test_lineage_per_partition_attribution(full_crawl):
     """VERDICT r03 #7: fetch_count sums are meaningful per partition;
     dedup/emitted are epoch-level facts on exactly one partition_id=-1
     summary row per epoch, matching the engine's own EpochStats."""
-    eng, res = engine_result
+    eng = full_crawl["eng"]
     lin = eng.catalog.read("lineage")
     per_epoch = {
         r["frontier_epoch"]: r
@@ -296,7 +314,7 @@ def test_lineage_per_partition_attribution(engine_result):
     by_epoch = {}
     for r in summaries:
         by_epoch.setdefault(r["frontier_epoch"], []).append(r)
-    for st in res.epochs:
+    for st in full_crawl["epochs"]:
         got = per_epoch.get(st.epoch)
         assert (got["fetched"] if got else 0) == st.fetched, st
         srows = by_epoch.get(st.epoch, [])
@@ -313,74 +331,3 @@ def test_lineage_per_partition_attribution(engine_result):
         == 0
     )
     assert eng.catalog.fsck() == []
-
-def test_quarantine_table_pruned_to_active(spark, tmp_path):
-    """VERDICT r03 #2: the committed quarantine table holds only ACTIVE
-    rows (until > last epoch) — hosts quarantined early in the crawl must
-    not be carried and rewritten forever after expiry. The 471 page only
-    exists at note index 100 (fixtures.py) and sits beyond the search
-    listings, so it is seeded directly (same setup as the
-    no-politeness-row quarantine test above)."""
-    import pandas as pd
-
-    from mediacrawler_spark.fixtures import UniverseParams, build_universe
-    from mediacrawler_spark.schemas import (
-        PAGES_SCHEMA, POLITENESS_SCHEMA, ROBOTS_SCHEMA, SEEDS_SCHEMA,
-    )
-
-    u = build_universe(
-        UniverseParams(
-            n_notes=102, n_hosts=6, n_keywords=2,
-            search_pages_per_keyword=1, max_comments_per_note=10,
-        )
-    )
-    blocked_urls = list(u.pages[u.pages["status"] == 471]["url"])
-    assert blocked_urls, "fixture must contain a 471 page"
-    seeds = pd.concat(
-        [
-            u.seeds,
-            pd.DataFrame(
-                [
-                    {"url": url, "platform": "xhs", "kind": "detail",
-                     "keyword": None, "priority": 0, "seq": 0}
-                    for url in blocked_urls
-                ]
-            ),
-        ],
-        ignore_index=True,
-    )
-    cfg = EngineConfig(max_comments_per_note=10, max_epochs=80)
-    cat = SnapshotCatalog(spark, str(tmp_path / "snap_quar_prune"))
-    eng = CrawlEngine(
-        spark, cat,
-        spark.createDataFrame(u.pages, PAGES_SCHEMA),
-        spark.createDataFrame(u.robots, ROBOTS_SCHEMA),
-        spark.createDataFrame(u.politeness, POLITENESS_SCHEMA),
-        cfg,
-    )
-    res = eng.run(spark.createDataFrame(seeds, SEEDS_SCHEMA))
-    blocked = {
-        r["host"] for r in eng.fetch_log().filter("status in (471, 461)").collect()
-    }
-    assert blocked, "universe must exercise the quarantine path"
-    last_epoch = res.epochs[-1].epoch
-    q = cat.read("quarantine")
-    rows = q.collect() if q is not None else []
-    # every committed row is ACTIVE (expired ones were dropped at commit)
-    assert all(r["quarantined_until"] > last_epoch for r in rows)
-    # drive a few empty epochs past the last quarantine's expiry: the
-    # blocked host's row must disappear from the committed table
-    for _ in range(3):
-        eng.run(None, max_epochs=1)
-    final = cat.read("quarantine")
-    final_hosts = {r["host"] for r in final.collect()} if final is not None else set()
-    assert not final_hosts & blocked  # expired entries dropped
-    # prune is mirrored on both sides: seen set still matches the oracle
-    oracle = CrawlOracle(
-        u.pages, u.robots, u.politeness,
-        default_budget=cfg.default_budget,
-        comments_per_page=cfg.comments_per_page,
-        max_comments_per_note=cfg.max_comments_per_note,
-        epoch_ts=cfg.epoch_ts,
-    ).run(seeds)
-    assert {r["url"] for r in cat.read("seen").collect()} == oracle.seen
