@@ -94,23 +94,193 @@ def classify_outcomes(fetched: DataFrame, epoch: int) -> dict[str, DataFrame]:
     }
 
 
-def _base(successes: DataFrame, epoch: int):
-    """Common successor columns."""
-    return {
-        "parent_seq": F.lit(-1).cast("long"),
-        "empty_streak": F.lit(0),
-        "attempt": F.lit(0),
-        "not_before_epoch": F.lit(epoch + 1).cast("int"),
-        "epoch": F.lit(epoch + 1).cast("int"),
-    }
-
-
-def _finish(df: DataFrame) -> DataFrame:
-    return df.select(
+def _successor_exprs(
+    comments_per_page: int, max_comments_per_note: int, max_pages_per_chain: int
+) -> dict:
+    """All static Column trees of :func:`emit_successors`, built once per
+    session (functions/exprcache.py). The epoch enters the rows via the
+    constant ``_nxt`` column (epoch+1) the caller attaches, so every tree
+    here is epoch-independent — re-building these lists per epoch was
+    most of the successor stage's py4j round-trips (round-5 profile)."""
+    nxt = F.col("_nxt")
+    base = [
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        nxt.alias("not_before_epoch"),
+        nxt.alias("epoch"),
+    ]
+    d: dict = {"base": base}
+    d["search_filter"] = F.col("kind") == "search_page"
+    d["items_sel"] = [
+        F.col("host"),
+        F.col("platform"),
+        F.col("_nxt"),
+        F.explode(F.col("items")).alias("it"),
+    ]
+    d["items_filter"] = ~F.col("it.model_type").isin("rec_query", "hot_query")
+    d["details_sel"] = [
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
+        F.col("platform"),
+        F.lit("detail").alias("kind"),
+        F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("it.id").alias("parent_id"),
+        F.lit("").alias("cursor"),
+        *base,
+    ]
+    d["streak"] = F.when(F.size("items") == 0, F.col("empty_streak") + 1).otherwise(F.lit(0))
+    d["next_search_filter"] = (
+        F.col("has_more") & (F.col("_streak") < 2) & (F.col("seq") < max_pages_per_chain)
+    )
+    d["next_search_sel"] = [
+        F.concat(
+            F.regexp_replace(F.col("url"), r"page=\d+$", "page="),
+            F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.col("_streak").alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        nxt.alias("not_before_epoch"),
+        nxt.alias("epoch"),
+    ]
+    d["detail_filter"] = F.col("kind") == "detail"
+    d["detail_it"] = F.try_element_at(F.col("items"), F.lit(1))
+    d["first_cpage_filter"] = F.col("it.comments_count") > 0
+    d["first_cpage_sel"] = [
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/comments/"),
+            F.col("note_id"), F.lit("?cursor=0"),
+        ).alias("url"),
+        F.col("platform"),
+        F.lit("comment_page").alias("kind"),
+        F.lit(1).alias("priority"),  # W1: comment pages after notes
+        F.lit(0).cast("long").alias("seq"),
+        F.col("note_id").alias("parent_id"),
+        F.lit("0").alias("cursor"),
+        *base,
+    ]
+    d["cpage_filter"] = F.col("kind") == "comment_page"
+    d["roots_sel"] = [
+        F.col("host"), F.col("platform"), F.col("note_id"), F.col("seq"),
+        F.col("_nxt"),
+        F.posexplode(F.col("comments")).alias("idx", "c"),
+    ]
+    d["sub_pages_filter"] = F.col("c.sub_comment_count") > 0
+    d["sub_pages_sel"] = [
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
+            F.col("note_id"), F.lit("/"), F.col("c.comment_id"),
+            F.lit("?cursor="), F.col("c.sub_comment_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.lit("sub_comment_page").alias("kind"),
+        F.lit(1).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("c.comment_id").alias("parent_id"),
+        F.col("c.sub_comment_cursor").alias("cursor"),
+        (F.col("seq") * comments_per_page + F.col("idx")).cast("long").alias("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        nxt.alias("not_before_epoch"),
+        nxt.alias("epoch"),
+    ]
+    # W4: stop the chain once the next page would start at/after the budget
+    d["next_cpage_filter"] = (
+        F.col("has_more")
+        & ((F.col("seq") + 1) * comments_per_page < max_comments_per_note)
+        & (F.col("seq") < max_pages_per_chain)
+    )
+    d["next_cpage_sel"] = [
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/comments/"),
+            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        *base,
+    ]
+    d["listing_filter"] = F.col("kind") == "listing"
+    d["l_items_sel"] = [
+        F.col("host"), F.col("platform"), F.col("_nxt"),
+        F.explode(F.col("items")).alias("it"),
+    ]
+    d["l_items_filter"] = F.col("it.model_type") == "note"
+    d["l_details_sel"] = [
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
+        F.col("platform"),
+        F.lit("detail").alias("kind"),
+        F.lit(0).alias("priority"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("it.id").alias("parent_id"),
+        F.lit("").alias("cursor"),
+        *base,
+    ]
+    d["next_listing_filter"] = F.col("has_more") & (F.col("seq") < max_pages_per_chain)
+    d["next_listing_sel"] = [
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/user/"),
+            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        *base,
+    ]
+    d["spage_filter"] = F.col("kind") == "sub_comment_page"
+    d["next_spage_filter"] = F.col("has_more") & (F.col("seq") < max_pages_per_chain)
+    d["next_spage_sel"] = [
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
+            F.col("note_id"), F.lit("/"), F.col("parent_id"),
+            F.lit("?cursor="), F.col("next_cursor"),
+        ).alias("url"),
+        F.col("platform"),
+        F.col("kind"),
+        F.col("priority"),
+        (F.col("seq") + 1).alias("seq"),
+        F.col("parent_id"),
+        F.col("next_cursor").alias("cursor"),
+        F.col("parent_seq"),
+        F.lit(0).alias("empty_streak"),
+        F.lit(0).alias("attempt"),
+        nxt.alias("not_before_epoch"),
+        nxt.alias("epoch"),
+    ]
+    d["finish_sel"] = [
         F.col("url"),
         F.xxhash64("url").alias("url_hash"),
         host_of(F.col("url")).alias("host"),
         *[F.col(c) for c in FRONTIER_COLS if c not in ("url", "url_hash", "host")],
+    ]
+    return d
+
+
+def _finish(df: DataFrame, finish_sel=None) -> DataFrame:
+    return df.select(
+        *(
+            finish_sel
+            if finish_sel is not None
+            else [
+                F.col("url"),
+                F.xxhash64("url").alias("url_hash"),
+                host_of(F.col("url")).alias("host"),
+                *[F.col(c) for c in FRONTIER_COLS if c not in ("url", "url_hash", "host")],
+            ]
+        )
     )
 
 
@@ -135,169 +305,60 @@ def emit_successors(
     ``comments_per_page`` is the per-platform fixed page size (10-20,
     e.g. xhs/client.py:297). ``max_pages_per_chain`` is a safety valve on
     every cursor chain, mirrored in CrawlOracle.max_chain.
+
+    The column trees are session-cached (:func:`_successor_exprs`); the
+    epoch flows in through the constant ``_nxt`` column.
     """
-    b = _base(successes, epoch)
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(
+        _successor_exprs, comments_per_page, max_comments_per_note, max_pages_per_chain
+    )
+    successes = successes.withColumn("_nxt", F.lit(epoch + 1).cast("int"))
 
     # --- search page → detail rows (P1 noise filter) -----------------------
-    search = successes.filter(F.col("kind") == "search_page")
-    items = search.select(
-        F.col("host"),
-        F.col("platform"),
-        F.explode(F.col("items")).alias("it"),
-    ).filter(~F.col("it.model_type").isin("rec_query", "hot_query"))
-    details = items.select(
-        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
-        F.col("platform"),
-        F.lit("detail").alias("kind"),
-        F.lit(0).alias("priority"),
-        F.lit(0).cast("long").alias("seq"),
-        F.col("it.id").alias("parent_id"),
-        F.lit("").alias("cursor"),
-        *[v.alias(k) for k, v in b.items()],
-    )
+    search = successes.filter(d["search_filter"])
+    items = search.select(*d["items_sel"]).filter(d["items_filter"])
+    details = items.select(*d["details_sel"])
 
     # --- search page → next page (T4 early exit + 2-strike) ----------------
-    streak = F.when(F.size("items") == 0, F.col("empty_streak") + 1).otherwise(F.lit(0))
     next_search = (
-        search.withColumn("_streak", streak)
-        .filter(F.col("has_more") & (F.col("_streak") < 2) & (F.col("seq") < max_pages_per_chain))
-        .select(
-            F.concat(
-                F.regexp_replace(F.col("url"), r"page=\d+$", "page="),
-                F.col("next_cursor"),
-            ).alias("url"),
-            F.col("platform"),
-            F.col("kind"),
-            F.col("priority"),
-            (F.col("seq") + 1).alias("seq"),
-            F.col("parent_id"),
-            F.col("next_cursor").alias("cursor"),
-            F.lit(-1).cast("long").alias("parent_seq"),
-            F.col("_streak").alias("empty_streak"),
-            F.lit(0).alias("attempt"),
-            F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
-            F.lit(epoch + 1).cast("int").alias("epoch"),
-        )
+        search.withColumn("_streak", d["streak"])
+        .filter(d["next_search_filter"])
+        .select(*d["next_search_sel"])
     )
 
     # --- detail → first comment page iff any comments (P3) -----------------
-    detail = successes.filter(F.col("kind") == "detail")
     first_comment_page = (
-        detail.withColumn("it", F.try_element_at(F.col("items"), F.lit(1)))
-        .filter(F.col("it.comments_count") > 0)
-        .select(
-            F.concat(
-                F.lit("https://"), F.col("host"), F.lit("/comments/"),
-                F.col("note_id"), F.lit("?cursor=0"),
-            ).alias("url"),
-            F.col("platform"),
-            F.lit("comment_page").alias("kind"),
-            F.lit(1).alias("priority"),  # W1: comment pages after notes
-            F.lit(0).cast("long").alias("seq"),
-            F.col("note_id").alias("parent_id"),
-            F.lit("0").alias("cursor"),
-            *[v.alias(k) for k, v in b.items()],
-        )
+        successes.filter(d["detail_filter"])
+        .withColumn("it", d["detail_it"])
+        .filter(d["first_cpage_filter"])
+        .select(*d["first_cpage_sel"])
     )
 
     # --- comment page → sub-comment pages + next page ----------------------
-    cpages = successes.filter(F.col("kind") == "comment_page")
-    roots = cpages.select(
-        F.col("host"), F.col("platform"), F.col("note_id"), F.col("seq"),
-        F.posexplode(F.col("comments")).alias("idx", "c"),
-    )
-    sub_pages = roots.filter(F.col("c.sub_comment_count") > 0).select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
-            F.col("note_id"), F.lit("/"), F.col("c.comment_id"),
-            F.lit("?cursor="), F.col("c.sub_comment_cursor"),
-        ).alias("url"),
-        F.col("platform"),
-        F.lit("sub_comment_page").alias("kind"),
-        F.lit(1).alias("priority"),
-        F.lit(0).cast("long").alias("seq"),
-        F.col("c.comment_id").alias("parent_id"),
-        F.col("c.sub_comment_cursor").alias("cursor"),
-        (F.col("seq") * comments_per_page + F.col("idx")).cast("long").alias("parent_seq"),
-        F.lit(0).alias("empty_streak"),
-        F.lit(0).alias("attempt"),
-        F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
-        F.lit(epoch + 1).cast("int").alias("epoch"),
-    )
-    # W4: stop the chain once the next page would start at/after the budget
-    next_comment_page = cpages.filter(
-        F.col("has_more")
-        & ((F.col("seq") + 1) * comments_per_page < max_comments_per_note)
-        & (F.col("seq") < max_pages_per_chain)
-    ).select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/comments/"),
-            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
-        ).alias("url"),
-        F.col("platform"),
-        F.col("kind"),
-        F.col("priority"),
-        (F.col("seq") + 1).alias("seq"),
-        F.col("parent_id"),
-        F.col("next_cursor").alias("cursor"),
-        *[v.alias(k) for k, v in b.items()],
+    cpages = successes.filter(d["cpage_filter"])
+    roots = cpages.select(*d["roots_sel"])
+    sub_pages = roots.filter(d["sub_pages_filter"]).select(*d["sub_pages_sel"])
+    next_comment_page = cpages.filter(d["next_cpage_filter"]).select(
+        *d["next_cpage_sel"]
     )
 
     # --- listing (creator posts) → detail rows + next listing page ----------
-    listing = successes.filter(F.col("kind") == "listing")
-    l_items = listing.select(
-        F.col("host"), F.col("platform"), F.explode(F.col("items")).alias("it")
-    ).filter(F.col("it.model_type") == "note")
-    l_details = l_items.select(
-        F.concat(F.lit("https://"), F.col("host"), F.lit("/note/"), F.col("it.id")).alias("url"),
-        F.col("platform"),
-        F.lit("detail").alias("kind"),
-        F.lit(0).alias("priority"),
-        F.lit(0).cast("long").alias("seq"),
-        F.col("it.id").alias("parent_id"),
-        F.lit("").alias("cursor"),
-        *[v.alias(k) for k, v in b.items()],
-    )
-    next_listing = listing.filter(
-        F.col("has_more") & (F.col("seq") < max_pages_per_chain)
-    ).select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/user/"),
-            F.col("note_id"), F.lit("?cursor="), F.col("next_cursor"),
-        ).alias("url"),
-        F.col("platform"),
-        F.col("kind"),
-        F.col("priority"),
-        (F.col("seq") + 1).alias("seq"),
-        F.col("parent_id"),
-        F.col("next_cursor").alias("cursor"),
-        *[v.alias(k) for k, v in b.items()],
+    listing = successes.filter(d["listing_filter"])
+    l_items = listing.select(*d["l_items_sel"]).filter(d["l_items_filter"])
+    l_details = l_items.select(*d["l_details_sel"])
+    next_listing = listing.filter(d["next_listing_filter"]).select(
+        *d["next_listing_sel"]
     )
 
     # --- sub-comment page → next sub page -----------------------------------
-    spages = successes.filter(F.col("kind") == "sub_comment_page")
-    next_sub_page = spages.filter(F.col("has_more") & (F.col("seq") < max_pages_per_chain)).select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/subcomments/"),
-            F.col("note_id"), F.lit("/"), F.col("parent_id"),
-            F.lit("?cursor="), F.col("next_cursor"),
-        ).alias("url"),
-        F.col("platform"),
-        F.col("kind"),
-        F.col("priority"),
-        (F.col("seq") + 1).alias("seq"),
-        F.col("parent_id"),
-        F.col("next_cursor").alias("cursor"),
-        F.col("parent_seq"),
-        F.lit(0).alias("empty_streak"),
-        F.lit(0).alias("attempt"),
-        F.lit(epoch + 1).cast("int").alias("not_before_epoch"),
-        F.lit(epoch + 1).cast("int").alias("epoch"),
-    )
+    spages = successes.filter(d["spage_filter"])
+    next_sub_page = spages.filter(d["next_spage_filter"]).select(*d["next_spage_sel"])
 
     out = None
     for part in (details, next_search, first_comment_page, sub_pages,
                  next_comment_page, next_sub_page, l_details, next_listing):
-        part = _finish(part)
+        part = _finish(part, d["finish_sel"])
         out = part if out is None else out.unionByName(part)
     return out

@@ -160,6 +160,12 @@ class CrawlEngine:
         # engine-owned winner-set cache slot: interleaved engines in one
         # process must not unpersist each other's live winner DataFrame
         self._winner_cache: dict = {}
+        # static admission expressions built once: the hybrid canonicalizer
+        # is the largest single Column tree in the loop and re-building it
+        # per epoch was pure py4j chatter (round-5 profile)
+        self._canon_url = canonicalize_urls(F.col("url"))
+        self._url_hash = F.xxhash64("url")
+        self._host_col = host_of(F.col("url"))
 
     # -- state accessors (resume-aware) --------------------------------------
     def _frontier(self) -> DataFrame:
@@ -492,9 +498,9 @@ class CrawlEngine:
             #    bloom+anti-join (successor URLs from live pages may be
             #    non-canonical; fixture URLs already are — no-op there)
             candidates = (
-                candidates.withColumn("url", canonicalize_urls(F.col("url")))
-                .withColumn("url_hash", F.xxhash64("url"))
-                .withColumn("host", host_of(F.col("url")))
+                candidates.withColumn("url", self._canon_url)
+                .withColumn("url_hash", self._url_hash)
+                .withColumn("host", self._host_col)
             )
             gated = apply_robots(candidates, self.robots, cfg.epoch_ts)
             # persist: the admission chain (canonicalize UDF → robots →
