@@ -924,6 +924,77 @@ def q_media_decode(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Point-in-interval range join (operators/temporal.py range_join —
+    bucketized: intervals explode to 30-min buckets, points carry one
+    bucket, equi-join then exact BETWEEN; never a nested-loop). Windows
+    are error events +30 min; points are purchase events; output is
+    per-window purchase count and cents sum (money as integer cents per
+    the driver convention), zero-filled for empty windows."""
+    from mediacrawler_spark.operators.temporal import range_join
+
+    e = _t(spark, sf, "events")
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pt = e.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hits = range_join(pt, iv, "p_ts", "start_ts", "end_ts", bucket_width=1800.0)
+    agg = hits.groupBy("interval_id").agg(
+        F.count("*").alias("n_hits"), F.sum("cents").alias("sum_cents")
+    )
+    return (
+        iv.select("interval_id")
+        .join(agg, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("sum_cents"), F.lit(0)).cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+def q_tfidf_topterms(spark, sf):
+    """Top-3 TF-IDF terms per document (operators/corpus.py
+    tfidf_top_terms — two hash-aggs + one pre-aggregated term join +
+    per-doc top-k window; ties rank term-ascending so both engines pick
+    identical rows)."""
+    from mediacrawler_spark.operators.corpus import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    out = tfidf_top_terms(d, k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round("score", 6).alias("score"),
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("doc_id", "rk")
+
+
+def q_agg_percentiles(spark, sf):
+    """Exact grouped percentiles (p50/p90 of document length per lang) —
+    linear-interpolation definition shared by Spark `percentile` and
+    DuckDB `quantile_cont`. Exact is fine per group at any corpus scale
+    when the group count is bounded (languages); the 100 TB arbitrary-
+    cardinality path is approx_percentile over the same plan."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_noise": q_p1_filter_noise,
@@ -962,6 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "tfidf_topterms": q_tfidf_topterms,
+        "agg_percentiles": q_agg_percentiles,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1406,6 +1480,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
             ORDER BY doc_id
+        """,
+        "range_join": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_type = 'error'
+            ), pt AS (
+              SELECT ts AS p_ts, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT i.interval_id,
+                   CAST(count(p.p_ts) AS BIGINT) AS n_hits,
+                   CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS sum_cents
+            FROM iv i LEFT JOIN pt p ON p.p_ts BETWEEN i.start_ts AND i.end_ts
+            GROUP BY i.interval_id ORDER BY i.interval_id
+        """,
+        "tfidf_topterms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                         string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   round(tf * ln(n.n_docs / df), 6) AS score,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfreq.df) DESC,
+                                  tf.term ASC) AS rk
+              FROM tf JOIN dfreq USING (term)), n
+            WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        "agg_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "asof_join": """
             WITH errors AS (

@@ -180,3 +180,49 @@ def stratified_sample(
         .filter(F.col("rk") <= k)
         .drop("_salt", "_lrk")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the classic corpus
+    keyword/relevance primitive (and the filter public pipelines use to
+    spot template/boilerplate docs: their top terms carry near-zero IDF).
+
+    score = tf · ln(N / df), tf the in-document term count, df the
+    number of distinct documents containing the term, N the corpus
+    size. Ties rank by term ascending so the output is deterministic
+    across engines. Plan shape at 100 TB: one (doc, term) hash-agg with
+    map-side combine, one term-keyed hash-agg for df, one equi-join of
+    the two on term (both sides pre-aggregated — the join carries one
+    row per distinct (doc, term) / term, never raw tokens), then the
+    two-phase-free per-doc top-k window (per-doc term counts are
+    bounded by vocabulary, not corpus size, so no salting is needed).
+
+    Output: (id_col, term, tf bigint, score double, rk int). Tokens are
+    :func:`mediacrawler_spark.functions.textual.tokens` — lowercased,
+    split on non-alphanumerics — matching the decontamination and
+    word-frequency tokenization.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    n_docs = df.select(id_col).distinct().count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "score", "rk")
+    )

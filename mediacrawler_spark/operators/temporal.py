@@ -145,3 +145,100 @@ def asof_join(
         .join(F.broadcast(carry), [*keys, "_bkt"], "left")
         .select("_lpay.*", F.coalesce(F.col("_m"), F.col("_carry")).alias("asof"))
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start_col <= point_ts <= end_col`` (closed on both ends — ANSI
+    BETWEEN), optionally also matching on equality ``keys``.
+
+    Spark has no native range join — the naive encoding is a broadcast
+    nested-loop or a cartesian product, both O(n·m). This is the
+    standard bucketization: time is cut into ``bucket_width``-second
+    buckets, each interval is EXPLODED to every bucket it overlaps, each
+    point carries its single containing bucket, and the match becomes a
+    plain equi-join on (keys…, bucket) followed by the exact BETWEEN
+    filter. Because a point has exactly one bucket, each qualifying pair
+    is produced exactly once — no post-dedup. At 100 TB the equi-join
+    shuffle is keyed by (keys…, bucket), so one hot hour spreads over
+    keys and AQE skew-split handles a hot (key, bucket); the replication
+    factor is interval_length / bucket_width + 1, which the caller tunes
+    toward ~1-2 by picking a width near the typical interval length.
+
+    Guards: intervals with ``end < start`` match nothing (dropped, as
+    BETWEEN would); an interval spanning more than
+    ``max_buckets_per_interval`` buckets raises at runtime rather than
+    silently exploding the build side (raise the cap or the width for
+    genuinely long intervals). Output columns are points' then
+    intervals' — the two schemas must be disjoint; ``_bkt``/``_bkts``
+    are reserved internals.
+
+    Reference scope: the reference crawler has no range join; this is a
+    SURVEY §2 "beyond the reference" temporal primitive (events-table
+    enrichment: points inside alert/session/outage windows).
+    """
+    keys = list(keys or [])
+    clash = set(points.columns) & set(intervals.columns) - set(keys)
+    bad = ({"_bkt", "_bkts"} & set(points.columns)) | (
+        {"_bkt", "_bkts"} & set(intervals.columns)
+    )
+    if clash or bad:
+        raise ValueError(
+            f"range_join: overlapping non-key columns {sorted(clash)} / "
+            f"reserved columns {sorted(bad)} on the inputs"
+        )
+    w = float(bucket_width)
+
+    def _bkt_of(df: DataFrame, c: str):
+        # ANSI forbids timestamp->double; bucket timestamps on exact
+        # integer microseconds instead (any consistent monotone mapping
+        # works — the exact BETWEEN runs on the original columns).
+        if dict(df.dtypes)[c].startswith("timestamp"):
+            return F.floor(
+                F.unix_micros(F.col(c).cast("timestamp")) / F.lit(w * 1e6)
+            ).cast("long")
+        return F.floor(F.col(c).cast("double") / F.lit(w)).cast("long")
+
+    p_bkt = _bkt_of(points, point_ts)
+    s_bkt = _bkt_of(intervals, start_col)
+    e_bkt = _bkt_of(intervals, end_col)
+    n_bkt = e_bkt - s_bkt + F.lit(1).cast("long")
+    pb = points.withColumn("_bkt", p_bkt)
+    ib = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "_bkts",
+            F.when(
+                n_bkt <= F.lit(int(max_buckets_per_interval)),
+                F.sequence(s_bkt, e_bkt),
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "range_join: interval spans %d buckets (cap "
+                        + str(int(max_buckets_per_interval))
+                        + ") — raise bucket_width or the cap",
+                        n_bkt,
+                    )
+                )
+            ),
+        )
+        .withColumn("_bkt", F.explode("_bkts"))
+        .drop("_bkts")
+    )
+    return (
+        pb.join(ib, on=[*keys, "_bkt"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -154,3 +154,47 @@ def test_decontaminate_normalizes_case_and_punct(spark):
     got = {r["doc_id"]: r["n_contaminated"] for r in decontaminate(corpus, bench, n=4).collect()}
     assert 1 in got and got[1] >= 1
     assert 2 not in got
+
+
+def test_tfidf_top_terms_planted(spark):
+    """Hand-checkable corpus: scores = tf*ln(N/df), ties break term-asc."""
+    import math
+
+    from mediacrawler_spark.operators.corpus import tfidf_top_terms
+
+    docs = [
+        ("d1", "apple apple banana common"),
+        ("d2", "banana cherry common"),
+        ("d3", "cherry cherry cherry common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {
+        (r["doc_id"], r["rk"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    ln = math.log
+    # d1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5); common score 0
+    import pytest
+
+    def close(got, term, tf, score):
+        assert got[0] == term and got[1] == tf
+        assert got[2] == pytest.approx(score, rel=1e-12)
+
+    close(rows[("d1", 1)], "apple", 2, 2 * ln(3.0))
+    close(rows[("d1", 2)], "banana", 1, ln(1.5))
+    # d3: cherry tf=3 df=2 -> 3*ln(1.5) tops; common ln(1)=0 ranks after
+    close(rows[("d3", 1)], "cherry", 3, 3 * ln(1.5))
+    assert rows[("d3", 2)][0] == "common" and rows[("d3", 2)][2] == 0.0
+    # d2: banana and cherry tie at ln(1.5) -> term-ascending order
+    assert rows[("d2", 1)][0] == "banana" and rows[("d2", 2)][0] == "cherry"
+
+
+def test_tfidf_no_cartesian_one_term_join(spark):
+    from mediacrawler_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma") for i in range(20)], "doc_id string, text string"
+    )
+    out = tfidf_top_terms(df, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -238,3 +238,102 @@ def test_asof_mega_key_bucketed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketized point-in-interval join)
+# ---------------------------------------------------------------------------
+
+
+def _rj_brute(points, intervals, keys=()):
+    """Brute-force closed-interval containment on driver-side rows."""
+    out = set()
+    for p in points:
+        for i in intervals:
+            if all(p[k] == i[k] for k in keys) and i["s"] <= p["ts"] <= i["e"]:
+                out.add((p["pid"], i["iid"]))
+    return out
+
+
+def test_range_join_brute_parity_keyless(spark):
+    import random
+
+    from mediacrawler_spark.operators.temporal import range_join
+
+    rng = random.Random(7)
+    pts = [{"pid": n, "ts": rng.uniform(0, 1000)} for n in range(300)]
+    ivs = [
+        {"iid": n, "s": (s := rng.uniform(0, 1000)), "e": s + rng.uniform(0, 50)}
+        for n in range(120)
+    ]
+    p = spark.createDataFrame(pts, "pid long, ts double")
+    i = spark.createDataFrame(ivs, "iid long, s double, e double")
+    for width in (7.0, 33.0, 500.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(p, i, "ts", "s", "e", bucket_width=width).collect()
+        }
+        assert got == _rj_brute(pts, ivs), f"width={width}"
+
+
+def test_range_join_brute_parity_keyed_and_unique(spark):
+    import random
+
+    from mediacrawler_spark.operators.temporal import range_join
+
+    rng = random.Random(11)
+    pts = [
+        {"pid": n, "k": rng.randrange(3), "ts": rng.uniform(0, 200)}
+        for n in range(200)
+    ]
+    ivs = [
+        {"iid": n, "k": rng.randrange(3), "s": (s := rng.uniform(0, 200)),
+         "e": s + rng.uniform(0, 40)}
+        for n in range(80)
+    ]
+    p = spark.createDataFrame(pts, "pid long, k int, ts double")
+    i = spark.createDataFrame(ivs, "iid long, k int, s double, e double")
+    rows = range_join(p, i, "ts", "s", "e", bucket_width=13.0, keys=["k"]).collect()
+    got = [(r["pid"], r["iid"]) for r in rows]
+    # exactly once per qualifying pair: a point has ONE bucket
+    assert len(got) == len(set(got))
+    assert set(got) == _rj_brute(pts, ivs, keys=("k",))
+
+
+def test_range_join_edges(spark):
+    import pytest
+
+    from mediacrawler_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame([(0, 10.0), (1, 20.0)], "pid long, ts double")
+    # closed on both ends; reversed interval matches nothing
+    i = spark.createDataFrame(
+        [(0, 10.0, 20.0), (1, 30.0, 25.0)], "iid long, s double, e double"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, i, "ts", "s", "e", bucket_width=5.0).collect()
+    }
+    assert got == {(0, 0), (1, 0)}
+    # an interval spanning more buckets than the cap raises (ANSI
+    # raise_error) instead of silently exploding the build side
+    wide = spark.createDataFrame([(9, 0.0, 1e9)], "iid long, s double, e double")
+    with pytest.raises(Exception, match="range_join"):
+        range_join(p, wide, "ts", "s", "e", bucket_width=1.0).collect()
+    # overlapping non-key columns rejected up front
+    bad = spark.createDataFrame([(0, 1.0, 2.0)], "pid long, s double, e double")
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(p, bad, "ts", "s", "e", bucket_width=1.0)
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    from mediacrawler_spark.operators.temporal import range_join
+
+    p = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("ts"))
+    i = spark.range(20).select(
+        F.col("id").alias("iid"), (F.col("id") * 5.0).alias("s"),
+        (F.col("id") * 5.0 + 10.0).alias("e"),
+    )
+    out = range_join(p, i, "ts", "s", "e", bucket_width=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
