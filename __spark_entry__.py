@@ -711,6 +711,26 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf):
+    """EXACT n-gram Jaccard near-dup self-join via prefix filtering
+    (AllPairs/PPJoin) — no LSH, no sketch, no recall knob. Threshold 0.5
+    (vs dedup_minhash_lsh's 0.8) so this row exercises the long-prefix
+    regime and yields a genuinely different pair set. The DuckDB oracle
+    recomputes the same pairs by the direct shingle equi-join, so the
+    prefix filter's completeness (J>=t pairs always share a prefix gram
+    under the common (df,gram) order) is what the hash compare pins."""
+    from mediacrawler_spark.operators.text_dedup import jaccard_similarity_join
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return (
+        jaccard_similarity_join(d, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash candidate generation (hamming 0 = all 4 pigeonhole chunks
     collide) → exact distinct-token-set verify. A token multiset determines
@@ -1038,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "creator_record": q_creator_record,
@@ -1557,6 +1578,29 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the exact semantic answer (true Jaccard / identical
         # token sets / planted twins) in SQL — the approximate candidate
         # stage must find all of it for the row to go green.
+        "dedup_ngram_jaccard": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(k * 1.0 / (sa.n + sb.n - k), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         "dedup_minhash_lsh": r"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS id,

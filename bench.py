@@ -48,6 +48,32 @@ def host_calibration() -> float:
     return round(best, 4)
 
 
+def _mc_burn(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+    return acc
+
+
+def host_calibration_mc(procs: int = 8, n: int = 3_000_000) -> float:
+    """Multi-core probe (wall seconds, best-of-2): the pure-Python hash
+    loop in ``procs`` simultaneous processes. Round-5 A/B runs showed the
+    single-threaded ``host_calib_sec`` can read healthy (0.044-0.053)
+    while 32-thread Spark throughput swings 2x minute-to-minute — the
+    co-tenant load lands on the OTHER cores. This probe exercises
+    multi-core capacity directly; compare rounds at similar values.
+    Lower is faster; meaningless on its own."""
+    import multiprocessing as mp
+
+    best = float("inf")
+    with mp.Pool(procs) as pool:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pool.map(_mc_burn, [n] * procs)
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -93,6 +119,10 @@ def main() -> None:
             "decontaminate_ngram",
             "dedup_clusters",
             "asof_join",
+            "dedup_keep_canonical",
+            "range_join",
+            "tfidf_topterms",
+            "agg_percentiles",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -122,9 +152,11 @@ def main() -> None:
         # 4 = r04 (adds sim_ann_ivf; others unchanged); 5 = r04 (adds
         # txt_repetition/dedup_span_shared/decontaminate_ngram corpus
         # ops; others unchanged); 6 = r04 (adds dedup_clusters/asof_join;
-        # others unchanged).
-        "query_rev": 6,
+        # others unchanged); 7 = r05 (adds dedup_keep_canonical/range_join/
+        # tfidf_topterms/agg_percentiles; others unchanged).
+        "query_rev": 7,
         "host_calib_sec": host_calibration(),
+        "host_calib_mc_sec": host_calibration_mc(),
     }
     if asm is not None:
         out["doc_assembly"] = asm

@@ -434,3 +434,66 @@ def simhash_pairs(
         )
     )
     return cross.unionByName(intra).select("id_a", "id_b", "hamming")
+
+
+# -------------------------------------------- exact similarity self-join ----
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT shingle-Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07) — no sketches, no bucket caps,
+    no recall trade-off, and still no all-pairs comparison.
+
+    Guarantee: J(A,B) >= t implies |A∩B| >= ceil(t·|A|) (since
+    J <= |A∩B|/|A| when |B| >= |A∩B|), so under ANY common total order of
+    shingles, the first |A| - ceil(t·|A|) + 1 shingles of A and the first
+    |B| - ceil(t·|B|) + 1 of B must intersect. Candidates are therefore
+    generated by an equi-join on PREFIX shingles only; the exact
+    array_intersect verify runs on candidates alone.
+
+    The total order is (global doc-frequency ASC, shingle ASC): rare
+    shingles first, so prefixes of near-dup boilerplate docs are their
+    rarest grams and hot-gram join groups stay small. Shuffles: one
+    hash-agg for doc frequencies, one equi-join to order, one candidate
+    equi-join on prefix grams — all keyed by shingle, no driver-side
+    state, no O(n²) stage (the verify is output-bounded). A size
+    pre-filter (t·|A| <= |B| and t·|B| <= |A|) prunes candidates before
+    the verify join.
+
+    Reference parity: the reference dedups by exact content key per store
+    (e.g. /root/reference/store/xhs/xhs_store_impl.py:127-133); this is
+    the near-dup generalization a training pipeline needs, kept exact.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
+    ordered = (
+        ex.join(freq, "g")
+        .groupBy("id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("gdf", "g"))).alias("gs"))
+    )
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select(
+        "id",
+        "n",
+        F.explode(F.transform(F.slice("gs", F.lit(1), plen), lambda s: s["g"])).alias("g"),
+    )
+    a = prefix.select(F.col("g"), F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    b = prefix.select(F.col("g"), F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") * F.lit(1.0) >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") * F.lit(1.0) >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_k, threshold)

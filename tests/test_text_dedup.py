@@ -86,3 +86,65 @@ def test_simhash_near_dups(docs):
     assert not any(("d04" in p) ^ ("d05" in p) == 0 and "d00" in p for p in [])
     # distinct topics stay apart even at the loose threshold
     assert ("d04", "d05") not in pairs
+
+
+# ------------------------------------- exact prefix-filter jaccard join ----
+def _brute_force_jaccard(docs_rows, k=3, threshold=0.5):
+    """Independent all-pairs ground truth (python sets, own tokenizer)."""
+    import re
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^\w]+", text.lower()) if t]
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in docs_rows}
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            u = len(a | b)
+            j = len(a & b) / u if u else 0.0
+            if j >= threshold:
+                out[(ids[x], ids[y])] = j
+    return out
+
+
+def test_jaccard_join_matches_brute_force(docs):
+    from mediacrawler_spark.operators.text_dedup import jaccard_similarity_join
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_similarity_join(docs, threshold=0.5).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _brute_force_jaccard(rows, threshold=0.5)
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert abs(got[p] - j) < 1e-9
+
+
+def test_jaccard_join_exact_at_low_threshold(spark):
+    """Adversarial completeness case for the prefix filter: a boilerplate
+    mega-cluster (every gram shared, frequency ties everywhere) plus
+    borderline pairs that sit exactly at the threshold boundary."""
+    from mediacrawler_spark.operators.text_dedup import jaccard_similarity_join
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(f"b{i:02d}", boiler) for i in range(12)]
+    # borderline: share a sliding window of the boilerplate
+    rows += [("e01", boiler + " extra tail words here now"),
+             ("e02", "prefix words go here " + boiler)]
+    # unrelated
+    rows += [("z01", "nothing in common with anything else whatsoever today"),
+             ("z02", "totally disjoint vocabulary again for the second control")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in jaccard_similarity_join(docs, threshold=0.3).collect()
+    }
+    want = set(_brute_force_jaccard(rows, threshold=0.3))
+    assert got == want
+    assert len(want) >= 66  # the 12-doc clique alone
+    assert not any("z01" in p or "z02" in p for p in got)
