@@ -541,6 +541,45 @@ def q_decontaminate_ngram(spark, sf):
     return decontaminate(corpus, bench, n=4).orderBy("doc_id")
 
 
+def q_txt_line_dedup(spark, sf):
+    """Corpus-level duplicated-line removal (CCNet/RefinedWeb boilerplate
+    pass) over a synthesized multi-line layout: per doc, a per-source
+    header line (duplicated across the ~25 docs of each source), the body
+    text, a footer shared by every doc, a short '---' separator (below
+    the substantial-line floor, always kept), and a unique id line. The
+    DuckDB oracle recomputes distinct-doc line frequencies and reassembles
+    surviving lines in order, so drop policy, short-line protection, and
+    in-order reassembly are all hash-pinned."""
+    from mediacrawler_spark.operators.corpus import line_dedup
+
+    d = _t(spark, sf, "documents")
+    t2 = F.concat_ws(
+        "\n",
+        F.concat(F.lit("host: "), F.col("source")),
+        F.col("text"),
+        F.lit("copyright footer all rights reserved 2026"),
+        F.lit("---"),
+        F.concat(F.lit("id "), F.col("doc_id").cast("string")),
+    )
+    docs = d.select("doc_id", t2.alias("text"))
+    return line_dedup(docs).orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (GPT-style pre-training layout):
+    deterministic shard (doc_id % 8), within-shard prefix-sum of token
+    counts, packs cut every 200 tokens; each doc reports its span
+    [start_pack, end_pack]. The shard bounds the window partition, so no
+    global sort exists at any scale. DuckDB reproduces the same window
+    arithmetic exactly."""
+    from mediacrawler_spark.operators.corpus import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(
+        d, budget=200, shard_col=F.pmod(F.col("doc_id"), F.lit(8)), n_shards=8
+    ).orderBy("doc_id")
+
+
 def q_sample_stratified(spark, sf):
     """Deterministic stratified sampling: 5 docs per language, drawn by
     md5(doc_id) order (two-phase salted top-k, politeness-scheduler
@@ -1050,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_shared": q_dedup_span_shared,
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
+        "txt_line_dedup": q_txt_line_dedup,
+        "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "asof_join": q_asof_join,
@@ -1395,6 +1436,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
             FROM corpus JOIN bench USING (gram)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "txt_line_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     'host: ' || source || chr(10) || text || chr(10) ||
+                     'copyright footer all rights reserved 2026' || chr(10) ||
+                     '---' || chr(10) || 'id ' || CAST(doc_id AS VARCHAR) AS t
+              FROM documents),
+            lx AS (
+              SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM base)),
+            lines AS (
+              SELECT doc_id, pos, l[pos] AS line, trim(l[pos]) AS lkey FROM lx),
+            freq AS (
+              SELECT lkey FROM lines
+              WHERE length(lkey) >= 5
+              GROUP BY lkey HAVING count(DISTINCT doc_id) > 1)
+            SELECT l.doc_id AS doc_id,
+                   coalesce(string_agg(CASE WHEN f.lkey IS NULL THEN l.line END,
+                                       chr(10) ORDER BY l.pos), '') AS text_deduped,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN f.lkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped
+            FROM lines l LEFT JOIN freq f ON l.lkey = f.lkey
+            GROUP BY l.doc_id ORDER BY doc_id
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST(floor((cum - n_tokens) / 200.0) AS BIGINT) AS start_pack,
+                   CAST(floor(greatest(cum - 1, cum - n_tokens) / 200.0) AS BIGINT)
+                       AS end_pack
+            FROM c ORDER BY doc_id
         """,
         "sample_stratified": """
             SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (

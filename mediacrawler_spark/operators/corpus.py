@@ -226,3 +226,120 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "score", "rk")
     )
+
+
+# ----------------------------------------------------------- line dedup ----
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal (CCNet / RefinedWeb
+    boilerplate pass): a line that occurs (trimmed-identical) in more
+    than ``max_df`` distinct documents is dropped from every document;
+    lines shorter than ``min_line_chars`` after trim are always kept
+    (blank lines and short separators are formatting, not boilerplate).
+
+    Plan shape at 100 TB: split+posexplode (narrow) → one hash-agg on
+    the trimmed line for distinct-doc frequency (map-side partial
+    count_distinct via the (line, id) pre-distinct) → equi-join back on
+    the line → one per-doc hash-agg to reassemble in original order.
+    No driver-side state, every shuffle keyed by line or doc id; a
+    mega-hot boilerplate line is ONE aggregate row (its per-doc copies
+    stay distributed).
+
+    Output: (id_col, text_deduped, n_lines, n_dropped).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.trim(F.col("line")))
+    substantial = F.length("lkey") >= min_line_chars
+    freq = (
+        lines.filter(substantial)
+        .select("lkey", "id")
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count("*").alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+    )
+    marked = lines.join(freq, "lkey", "left")
+    keep = F.col("line_df").isNull()
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_deduped"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        )
+        .select(F.col("id").alias(id_col), "text_deduped", "n_lines", "n_dropped")
+    )
+
+
+# ------------------------------------------------------ sequence packing ----
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col=None,
+    shard_col=None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents are deterministically sharded, concatenated in id
+    order within each shard, and the token stream is cut every
+    ``budget`` tokens. Each doc reports the pack(s) it lands in.
+
+    Packing is embarrassingly parallel across shards — a real pipeline
+    runs one writer task per shard — and the within-shard assignment is
+    a single prefix-sum window (the shard bounds the window's partition,
+    so no global sort and no single-partition window at any scale).
+
+    ``len_col`` defaults to the whitespace/BPE-ish token count;
+    ``shard_col`` defaults to ``pmod(xxhash64(id), n_shards)`` (pass an
+    explicit column for SQL-reproducible sharding, e.g. ``id % n``).
+
+    Output: (id_col, shard, n_tokens, start_offset, start_pack,
+    end_pack) — offsets are within-shard; a doc spans packs
+    [start_pack, end_pack].
+    """
+    from mediacrawler_spark.functions.textual import token_count
+
+    if len_col is None:
+        len_col = token_count(F.col("text"))
+    if shard_col is None:
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    base = docs.select(
+        F.col(id_col),
+        shard_col.cast("bigint").alias("shard"),
+        len_col.cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("bigint").alias("start_pack"),
+        F.floor(
+            F.greatest(F.col("cum") - 1, start) / F.lit(budget)
+        ).cast("bigint").alias("end_pack"),
+    )

@@ -198,3 +198,95 @@ def test_tfidf_no_cartesian_one_term_join(spark):
     out = tfidf_top_terms(df, k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------ line dedup ----
+def test_line_dedup_drops_corpus_duplicated_lines(spark):
+    from mediacrawler_spark.operators.corpus import line_dedup
+
+    rows = [
+        ("d1", "unique body one\nshared boilerplate line\n---\nend d1"),
+        ("d2", "unique body two\nshared boilerplate line\n---\nend d2"),
+        ("d3", "unique body three\nrepeated inside\nrepeated inside\nend d3"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()
+    }
+    # corpus-duplicated substantial line dropped from both docs
+    assert out["d1"]["text_deduped"] == "unique body one\n---\nend d1"
+    assert out["d2"]["text_deduped"] == "unique body two\n---\nend d2"
+    assert out["d1"]["n_dropped"] == 1 and out["d1"]["n_lines"] == 4
+    # '---' is below min_line_chars → protected even though shared
+    # within-doc repetition is NOT corpus duplication (distinct-doc df=1)
+    assert out["d3"]["text_deduped"] == rows[2][1]
+    assert out["d3"]["n_dropped"] == 0
+
+
+def test_line_dedup_all_lines_dropped_yields_empty(spark):
+    from mediacrawler_spark.operators.corpus import line_dedup
+
+    rows = [("a", "same long line here"), ("b", "same long line here")]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()
+    }
+    assert out["a"]["text_deduped"] == "" and out["a"]["n_dropped"] == 1
+    # trimmed-identical lines match across whitespace variants
+    rows2 = [("a", "  padded line content  "), ("b", "padded line content")]
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows2, "doc_id string, text string")
+        ).collect()
+    }
+    assert out2["a"]["n_dropped"] == 1 and out2["b"]["n_dropped"] == 1
+
+
+# ------------------------------------------------------- sequence packing ----
+def test_pack_sequences_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "tok " * (7 + (i * 13) % 90)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, budget=50, shard_col=F.pmod(F.col("doc_id"), F.lit(4)), n_shards=4
+        ).collect()
+    }
+    # brute force: concat in id order within shard, cut every 50 tokens
+    import collections
+
+    shards = collections.defaultdict(list)
+    for i, t in rows:
+        shards[i % 4].append((i, len(t.split())))
+    for shard, docs in shards.items():
+        off = 0
+        for i, n in sorted(docs):
+            g = got[i]
+            assert g["shard"] == shard and g["n_tokens"] == n
+            assert g["start_offset"] == off
+            assert g["start_pack"] == off // 50
+            assert g["end_pack"] == max(off + n - 1, off) // 50
+            off += n
+
+
+def test_pack_sequences_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(100)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, budget=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # window is partitioned by shard — no single-partition global window
+    assert "SinglePartition" not in plan
