@@ -123,6 +123,9 @@ def main() -> None:
             "range_join",
             "tfidf_topterms",
             "agg_percentiles",
+            "dedup_ngram_jaccard",
+            "txt_line_dedup",
+            "pack_sequences",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -153,7 +156,8 @@ def main() -> None:
         # txt_repetition/dedup_span_shared/decontaminate_ngram corpus
         # ops; others unchanged); 6 = r04 (adds dedup_clusters/asof_join;
         # others unchanged); 7 = r05 (adds dedup_keep_canonical/range_join/
-        # tfidf_topterms/agg_percentiles; others unchanged).
+        # tfidf_topterms/agg_percentiles/dedup_ngram_jaccard/txt_line_dedup/
+        # pack_sequences; others unchanged).
         "query_rev": 7,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
