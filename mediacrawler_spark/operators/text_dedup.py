@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.functions.textual import doc_fingerprint, tokens, word_shingles
@@ -317,7 +317,15 @@ def _pigeonhole_value_pairs(
     fan-out/perf knob, never a recall knob. Input is one row per DISTINCT
     value (the caller collapses docs first), so a mega-group of identical
     simhashes (e.g. empty docs) costs ONE row here, not a quadratic
-    bucket."""
+    bucket.
+
+    Perf shape: one window count per level (not an agg + two equi-joins),
+    and each level's keyed rows are localCheckpoint'ed — they are tiny
+    (|distinct values| × branch fan-out of three longs) and every level is
+    referenced three ways (ok split, carry split, next level), so without
+    the truncation the whole upstream tree re-evaluated per reference
+    (~2-4× wall measured at sf0.01). Levels stop early when nothing is
+    over cap — the common case at production caps."""
     lvl_masks = _branch_cum_masks(n_bits, depth)
     cur = vals.select(
         "simhash",
@@ -336,16 +344,23 @@ def _pigeonhole_value_pairs(
         ).alias("x"),
     ).select("simhash", "x.branch", "x.mval")
     parts: list[DataFrame] = []
+    w = Window.partitionBy("branch", "mval")
     for lvl in range(depth):
         if lvl == depth - 1:
             # final level: join every bucket (completeness over truncation)
             parts.append(cur.withColumn("lvl", F.lit(lvl)))
             break
-        sizes = cur.groupBy("branch", "mval").agg(F.count("*").alias("_bsz"))
-        ok = sizes.filter(F.col("_bsz") <= max_bucket).select("branch", "mval")
-        parts.append(cur.join(ok, ["branch", "mval"]).withColumn("lvl", F.lit(lvl)))
-        over = sizes.filter(F.col("_bsz") > max_bucket).select("branch", "mval")
-        carried = cur.join(over, ["branch", "mval"]).select("simhash", "branch")
+        curs = cur.withColumn("_bsz", F.count("*").over(w)).localCheckpoint(
+            eager=True
+        )
+        parts.append(
+            curs.filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+            .withColumn("lvl", F.lit(lvl))
+        )
+        carried = curs.filter(F.col("_bsz") > max_bucket).select("simhash", "branch")
+        if carried.isEmpty():
+            break
         children = F.array(
             *[
                 F.array(
@@ -404,9 +419,13 @@ def simhash_pairs(
     hamming-0 pairs by construction). All stages JVM-side; the only
     output-quadratic step is the intra-value expansion, whose size equals
     the true duplicate-pair count."""
+    # (id, simhash) feeds four consumers (distinct values, both sides of
+    # the cross-value expand, both sides of the intra-value expand);
+    # persist keeps the tokenize+64-bit-sum aggregate to ONE pass — the
+    # rows are two longs per doc, tiny next to the corpus itself.
     s = simhash(df, id_col, text_col, n_bits=n_bits, token_hash=token_hash).select(
         F.col(id_col).alias("id"), "simhash"
-    )
+    ).persist()
     vals = s.select("simhash").distinct()
     cand = _pigeonhole_value_pairs(vals, max_bucket, n_bits)
     vpairs = cand.withColumn(
