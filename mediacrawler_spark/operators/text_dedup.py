@@ -134,10 +134,14 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    # Signatures feed three lineages (bucket-size agg, both join sides);
+    # persist keeps the shingle-explode + 64-min aggregate to ONE pass —
+    # (id, 64 longs) per doc is tiny next to the corpus. The band join
+    # itself carries ids only; signatures re-attach AFTER the candidate
+    # pair dedup, so the 512-byte array never rides the band shuffle.
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).persist()
     buckets = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -149,19 +153,17 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bh")
+    ).select("id", "bk.band", "bk.bh")
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket)
-    a = buckets.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    b = buckets.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
+    a = buckets.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
+    b = buckets.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
     cand = (
         a.join(b, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
