@@ -479,11 +479,21 @@ def jaccard_similarity_join(
     The total order is (global doc-frequency ASC, shingle ASC): rare
     shingles first, so prefixes of near-dup boilerplate docs are their
     rarest grams and hot-gram join groups stay small. Shuffles: one
-    hash-agg for doc frequencies, one equi-join to order, one candidate
-    equi-join on prefix grams — all keyed by shingle, no driver-side
-    state, no O(n²) stage (the verify is output-bounded). A size
-    pre-filter (t·|A| <= |B| and t·|B| <= |A|) prunes candidates before
-    the verify join.
+    hash-agg for doc frequencies, one window by id to rank grams, one
+    candidate equi-join on prefix grams — no driver-side state, no O(n²)
+    stage (the verify is output-bounded). Candidates are pruned by the
+    size filter (t·|A| <= |B| and t·|B| <= |A|) and by the PPJoin
+    POSITIONAL filter: a true pair's first shared prefix gram, at 1-based
+    ranks (p_a, p_b) of the common order, bounds the overlap by
+    1 + min(|A|-p_a, |B|-p_b), which must reach the J>=t overlap floor
+    ceil(t/(1+t)·(|A|+|B|)); OR-ing the test over every shared gram keeps
+    exactly the pairs whose FIRST shared gram passes (ranks only grow),
+    so completeness is preserved while hot-gram false candidates drop.
+
+    The (id, shingle-set) table is computed ONCE and persisted — it feeds
+    the frequency agg, the prefix ranking, and the verify join; the
+    shingle HOF pipeline (tokenize → slide → distinct) is the per-row
+    hot path and must not be re-evaluated per consumer.
 
     Reference parity: the reference dedups by exact content key per store
     (e.g. /root/reference/store/xhs/xhs_store_impl.py:127-133); this is
@@ -492,29 +502,45 @@ def jaccard_similarity_join(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    sh = sh.select("id", "sh", F.size("sh").alias("n")).persist()
+    ex = sh.select("id", "n", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
-    ordered = (
-        ex.join(freq, "g")
-        .groupBy("id", "n")
-        .agg(F.array_sort(F.collect_list(F.struct("gdf", "g"))).alias("gs"))
-    )
+    w = Window.partitionBy("id").orderBy("gdf", "g")
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
-    prefix = ordered.select(
-        "id",
-        "n",
-        F.explode(F.transform(F.slice("gs", F.lit(1), plen), lambda s: s["g"])).alias("g"),
+    prefix = (
+        ex.join(freq, "g")
+        .select("id", "n", "g", F.row_number().over(w).alias("p"))
+        .filter(F.col("p") <= plen)
     )
-    a = prefix.select(F.col("g"), F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    b = prefix.select(F.col("g"), F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    a = prefix.select(
+        "g", F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("p").alias("p_a")
+    )
+    b = prefix.select(
+        "g", F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("p").alias("p_b")
+    )
+    overlap_floor = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    )
+    overlap_ub = F.lit(1) + F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b"))
     cand = (
         a.join(b, "g")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") * F.lit(1.0) >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") * F.lit(1.0) >= F.lit(threshold) * F.col("n_b"))
+            & (overlap_ub >= overlap_floor)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_k, threshold)
+    j = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
