@@ -74,6 +74,37 @@ def host_calibration_mc(procs: int = 8, n: int = 3_000_000) -> float:
     return round(best, 4)
 
 
+def wait_for_healthy_window(
+    max_wait_sec: float = 300.0, calib_ok: float = 0.08, calib_mc_ok: float = 0.42
+) -> dict:
+    """Bounded wait for a healthy host window before measuring.
+
+    This VM's co-tenant windows inflate same-binary numbers up to ~2.5x
+    (BENCH/BASELINE.md round-4/5 notes); the round-4 official artifact
+    landed in one. Waiting a bounded time for BOTH calibration probes to
+    return to the healthy band rescues artifacts from transient spikes.
+    The final probe values are recorded in the artifact either way, so a
+    still-sick artifact stays labeled as such. ``BENCH_NO_WAIT=1`` skips;
+    ``BENCH_WAIT_SEC`` overrides the cap. Bands: single-core <= 0.08
+    (healthy 0.044-0.053, sick windows 0.10-1.14), 8-proc <= 0.42
+    (healthy 0.29-0.41, sick 0.45-0.61+)."""
+    first = {"calib": host_calibration(), "calib_mc": host_calibration_mc()}
+    probes, waited = 1, 0.0
+    cur = dict(first)
+    while (cur["calib"] > calib_ok or cur["calib_mc"] > calib_mc_ok) and waited < max_wait_sec:
+        time.sleep(20)
+        waited += 20
+        cur = {"calib": host_calibration(), "calib_mc": host_calibration_mc()}
+        probes += 1
+    return {
+        "calib_first": first["calib"],
+        "calib_mc_first": first["calib_mc"],
+        "waited_sec": round(waited, 1),
+        "probes": probes,
+        "healthy": cur["calib"] <= calib_ok and cur["calib_mc"] <= calib_mc_ok,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -82,6 +113,13 @@ def main() -> None:
 
     from mediacrawler_spark.bench_workloads import assembly_bench, frontier_bench
     from mediacrawler_spark.session import get_spark
+
+    window = None
+    if os.environ.get("BENCH_NO_WAIT", "") != "1":
+        window = wait_for_healthy_window(
+            max_wait_sec=float(os.environ.get("BENCH_WAIT_SEC", "300"))
+        )
+        print(f"# window: {window}", file=sys.stderr)
 
     spark = get_spark(app_name="mediacrawler_spark_bench", cpus=cpus)
 
@@ -162,6 +200,8 @@ def main() -> None:
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
+    if window is not None:
+        out["window"] = window
     if asm is not None:
         out["doc_assembly"] = asm
     print(json.dumps(out))
