@@ -983,6 +983,35 @@ def q_media_decode(spark, sf):
     )
 
 
+def q_media_frame_sample(spark, sf):
+    """Frame-sampling plan (operators/media.py sample_frames — the
+    video branch of the decode/feature/resize/frame-sample quartet):
+    the same SQL-reproducible fake-codec blobs as q_media_decode, then
+    one row per every-30th frame index via sequence+explode. The oracle
+    recomputes n_frames/width/height from the blob byte sum and unnests
+    range(0, n_frames, 30) in DuckDB — an independent generator for the
+    explode plumbing Spark schedules at scale."""
+    from mediacrawler_spark.operators.media import (
+        _fake_decode,
+        decode_media,
+        sample_frames,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("media_type"),
+        F.encode(F.col("doc_id").cast("string"), "utf-8").alias("data"),
+    )
+    frames = sample_frames(decode_media(media, decoder=_fake_decode), every_n=30)
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    ).orderBy("media_ref", "frame_idx")
+
+
 def q_range_join(spark, sf):
     """Point-in-interval range join (operators/temporal.py range_join —
     bucketized: intervals explode to 30-min buckets, points carry one
@@ -1108,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -1798,5 +1828,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN media_type = 'video'
                                  THEN 1 + h % 300 ELSE 1 END) AS BIGINT) AS frames
             FROM m GROUP BY media_type ORDER BY media_type
+        """,
+        "media_frame_sample": """
+            WITH m AS (
+              SELECT 'blob:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     list_sum(list_transform(
+                         range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                         i -> ascii(substring(CAST(doc_id AS VARCHAR), i, 1)))) AS h
+              FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0)
+            SELECT media_ref,
+                   CAST(f.i AS BIGINT) AS frame_idx,
+                   CAST(16 + h % 1024 AS BIGINT) AS width,
+                   CAST(16 + (h // 7) % 1024 AS BIGINT) AS height
+            FROM m, LATERAL unnest(range(0, CAST(1 + h % 300 AS BIGINT), 30)) AS f(i)
+            ORDER BY media_ref, frame_idx
         """,
     }

@@ -164,6 +164,7 @@ def main() -> None:
             "dedup_ngram_jaccard",
             "txt_line_dedup",
             "pack_sequences",
+            "media_frame_sample",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -195,8 +196,9 @@ def main() -> None:
         # ops; others unchanged); 6 = r04 (adds dedup_clusters/asof_join;
         # others unchanged); 7 = r05 (adds dedup_keep_canonical/range_join/
         # tfidf_topterms/agg_percentiles/dedup_ngram_jaccard/txt_line_dedup/
-        # pack_sequences; others unchanged).
-        "query_rev": 7,
+        # pack_sequences; others unchanged); 8 = r05 (adds
+        # media_frame_sample; others unchanged).
+        "query_rev": 8,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
