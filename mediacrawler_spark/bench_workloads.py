@@ -25,7 +25,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
+from mediacrawler_spark.functions.urls import host_of, with_canonical_url
 from mediacrawler_spark.operators.dedup import (
     BloomParams,
     build_bloom_table,
@@ -127,7 +127,7 @@ def frontier_bench(
 
     def admit_and_select() -> tuple[int, int, int]:
         cand = (
-            raw.withColumn("url", canonicalize_urls(F.col("url")))
+            with_canonical_url(raw)
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_of(F.col("url")))
             .withColumn("platform", F.lit("xhs"))

@@ -203,7 +203,26 @@ def url_path(url: Column) -> Column:
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn(url_col, canonicalize_urls(F.col(url_col)))
+    """Canonicalize ``url_col`` with the same per-row result as
+    ``canonicalize_urls``, split at the DataFrame level: JVM-eligible rows
+    stay entirely inside whole-stage codegen; the Arrow UDF pass runs only
+    over the grammar's complement.
+
+    The Column hybrid must keep its ``when/otherwise`` form (a Column
+    cannot drop rows), which plants an ArrowEvalPython node over EVERY row
+    (NULL input for the eligible ones) and pushes the big canonicalize
+    expression into a non-codegen Project; the split form measured
+    ~1.3–1.6× faster on the 2M-URL admission bench with identical output
+    checksums. Cost: the source is scanned twice (filter + complement) —
+    callers feed it materialized reads (the engine's per-epoch candidates
+    parquet, the bench generator), never an expensive lazy chain. Batch
+    only — streaming keeps the Column hybrid (one pass, no union).
+    Byte-parity with the Column path is pinned in tests/test_urls.py."""
+    u = F.trim(F.coalesce(F.col(url_col), F.lit("")))
+    ok = u.rlike(_JVM_ELIGIBLE)
+    fast = df.filter(ok).withColumn(url_col, _canonicalize_expr(u))
+    slow = df.filter(~ok).withColumn(url_col, _canonicalize_slow(u))
+    return fast.unionByName(slow)
 
 
 def with_url_key(df: DataFrame, url_col: str = "url") -> DataFrame:

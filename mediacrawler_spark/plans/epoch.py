@@ -53,7 +53,7 @@ from mediacrawler_spark.operators.frontier import (
     emit_successors,
     seeds_to_candidates,
 )
-from mediacrawler_spark.functions.urls import canonicalize_urls, host_of
+from mediacrawler_spark.functions.urls import host_of, with_canonical_url
 from mediacrawler_spark.operators.politeness import (
     apply_robots,
     merge_quarantine,
@@ -160,10 +160,10 @@ class CrawlEngine:
         # engine-owned winner-set cache slot: interleaved engines in one
         # process must not unpersist each other's live winner DataFrame
         self._winner_cache: dict = {}
-        # static admission expressions built once: the hybrid canonicalizer
-        # is the largest single Column tree in the loop and re-building it
-        # per epoch was pure py4j chatter (round-5 profile)
-        self._canon_url = canonicalize_urls(F.col("url"))
+        # static admission expressions built once — re-building them per
+        # epoch was pure py4j chatter (round-5 profile). Canonicalization
+        # itself is DataFrame-level (with_canonical_url: codegen for
+        # eligible rows, Arrow UDF only on the complement).
         self._url_hash = F.xxhash64("url")
         self._host_col = host_of(F.col("url"))
 
@@ -498,7 +498,7 @@ class CrawlEngine:
             #    bloom+anti-join (successor URLs from live pages may be
             #    non-canonical; fixture URLs already are — no-op there)
             candidates = (
-                candidates.withColumn("url", self._canon_url)
+                with_canonical_url(candidates)
                 .withColumn("url_hash", self._url_hash)
                 .withColumn("host", self._host_col)
             )

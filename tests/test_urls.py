@@ -100,11 +100,8 @@ def test_host_of(spark):
     assert got == ["h0.example.test", "a.b"]
 
 
-def test_jvm_canonicalizer_equals_python_combinatorial(spark):
-    """The codegen canonicalizer must be byte-identical to
-    _canonicalize_one on EVERY url — eligible URLs through the JVM
-    expression, the complement through the python path. Combinatorial
-    corpus covering both grammars (~1.9k urls)."""
+def _combinatorial_urls():
+    """~1.9k-URL corpus covering both canonicalizer grammars."""
     import itertools
 
     schemes = ["https", "HTTP", "ftp"]
@@ -129,6 +126,15 @@ def test_jvm_canonicalizer_equals_python_combinatorial(spark):
         for s, h, p, q, fr in itertools.product(schemes, hosts, paths, queries, frags)
     ]
     urls += ["", "h.t/a", "https://h.t", "not a url ://", "https://[::1]/x"]
+    return urls
+
+
+def test_jvm_canonicalizer_equals_python_combinatorial(spark):
+    """The codegen canonicalizer must be byte-identical to
+    _canonicalize_one on EVERY url — eligible URLs through the JVM
+    expression, the complement through the python path. Combinatorial
+    corpus covering both grammars (~1.9k urls)."""
+    urls = _combinatorial_urls()
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [
         r["c"]
@@ -137,6 +143,26 @@ def test_jvm_canonicalizer_equals_python_combinatorial(spark):
     want = [canonicalize_one(u.strip()) for u in urls]
     bad = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
     assert not bad, f"{len(bad)} divergences, e.g. {bad[:5]}"
+
+
+def test_df_split_canonicalizer_equals_column_path(spark):
+    """with_canonical_url (DataFrame split-union: codegen for eligible
+    rows, Arrow UDF only on the complement — the engine admission and
+    bench path) must yield the same multiset of (id, url) as the Column
+    hybrid on the full combinatorial corpus, and must not drop or
+    duplicate a single row."""
+    from mediacrawler_spark.functions.urls import with_canonical_url
+
+    urls = _combinatorial_urls() + [None]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id int, url string"
+    )
+    col_path = sorted(
+        (r["id"], r["c"])
+        for r in df.select("id", canonicalize_urls(F.col("url")).alias("c")).collect()
+    )
+    split_path = sorted((r["id"], r["url"]) for r in with_canonical_url(df).collect())
+    assert split_path == col_path
 
 
 def test_jvm_eligible_grammar_hits_real_urls(spark):
