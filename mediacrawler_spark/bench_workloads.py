@@ -157,13 +157,16 @@ def frontier_bench(
 
     if warmup:
         # full-pipeline JIT/codegen warmup: every stage compiles its
-        # whole-stage-codegen source before the measured run
-        saved = raw
-        raw = synthetic_seed_urls(spark, max(10_000, n_urls // 20), n_hosts)
+        # FULL-SIZE warmup pass: a small (n/20) warmup compiles every
+        # codegen stage but C2 and the shuffle/memory paths only reach
+        # steady state at full size — measured in one session, best-of-2
+        # after a 100k warmup read 10.0-12.8s where continued full-size
+        # iterations settled at 7.1-9.2s. The warmup must be the same
+        # work the measured iterations do (CLAUDE.md: "warm the JIT with
+        # a full pipeline pass").
         admit_and_select()
-        raw = saved
 
-    iterations = 2
+    iterations = 3
     best = None
     for _ in range(iterations):
         t0 = time.perf_counter()
