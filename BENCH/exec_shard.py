@@ -82,7 +82,11 @@ def main() -> None:
         seen.unpersist()
         return n_in, n_adm
 
-    admit(max(200_000, n_urls // 20))  # warmup: full pipeline, small slice
+    # warmup: the SAME full-size pass the measured run does — a small
+    # slice compiles codegen but leaves C2/shuffle paths cold (measured
+    # 10-13s vs 7-9s steady state on the thread bench); runs before the
+    # barrier so it never lands in the synchronized measured window
+    admit(n_urls)
 
     open(os.path.join(sync_dir, f"ready.{rank}"), "w").write("1")
     go = os.path.join(sync_dir, "go")
