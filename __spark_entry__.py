@@ -727,6 +727,29 @@ def q_sim_cosine_topk(spark, sf):
     )
 
 
+def q_sim_quantized_topk(spark, sf):
+    """Int8-quantized cosine top-3 for the first 5 vectors — the ANN
+    memory-scale path (4x corpus-index cut). The quantization rule is
+    plain double arithmetic (floor(x*127/amax + 0.5)) that DuckDB
+    reproduces bit-exactly, and per-vector scales cancel out of the
+    quantized cosine, so the compared ``qdot`` column is an EXACT integer
+    (no float hashing anywhere)."""
+    from mediacrawler_spark.operators.quantize import quantized_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        quantized_cosine_topk(emb, q, k=3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("qdot").cast("bigint").alias("qdot"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate generation → exact n-gram Jaccard verify —
     the canonical corpus near-dup pipeline. Output = pairs with TRUE
@@ -1127,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1686,6 +1710,35 @@ def oracle_sql() -> dict[str, str]:
                                     c.vec_id) AS rank
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "sim_quantized_topk": """
+            WITH qz AS (
+                SELECT vec_id,
+                       CASE WHEN list_max(list_transform(embedding,
+                                  y -> abs(CAST(y AS DOUBLE)))) > 0
+                            THEN list_transform(embedding, x ->
+                                 CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                                      list_max(list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+                                      AS BIGINT))
+                            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                       END AS q
+                FROM embeddings),
+            nn AS (
+                SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+                       CAST(list_dot_product(qv.q, cv.q) AS BIGINT) AS qdot,
+                       row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                           CASE WHEN list_dot_product(qv.q, qv.q) > 0
+                                 AND list_dot_product(cv.q, cv.q) > 0
+                                THEN list_dot_product(qv.q, cv.q) /
+                                     sqrt(list_dot_product(qv.q, qv.q) *
+                                          list_dot_product(cv.q, cv.q))
+                                ELSE 0.0 END DESC,
+                           cv.vec_id) AS rank
+                FROM qz qv, qz cv
+                WHERE qv.vec_id < 5 AND cv.vec_id <> qv.vec_id)
+            SELECT query_id, neighbor_id, rank, qdot FROM nn
             WHERE rank <= 3 ORDER BY query_id, rank
         """,
         # LSH/simhash queries are verify-then-report pipelines: the oracle

@@ -165,6 +165,7 @@ def main() -> None:
             "txt_line_dedup",
             "pack_sequences",
             "media_frame_sample",
+            "sim_quantized_topk",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -197,8 +198,9 @@ def main() -> None:
         # others unchanged); 7 = r05 (adds dedup_keep_canonical/range_join/
         # tfidf_topterms/agg_percentiles/dedup_ngram_jaccard/txt_line_dedup/
         # pack_sequences; others unchanged); 8 = r05 (adds
-        # media_frame_sample; others unchanged).
-        "query_rev": 8,
+        # media_frame_sample; others unchanged); 9 = r05 (adds
+        # sim_quantized_topk; others unchanged).
+        "query_rev": 9,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

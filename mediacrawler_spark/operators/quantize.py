@@ -1,0 +1,135 @@
+"""Int8 embedding quantization — the memory lever for ANN at 100 TB.
+
+A float32 corpus embedding column is 4·dim bytes/row; symmetric per-vector
+int8 quantization cuts that 4× (1·dim codes + one float scale), which at the
+10^10-document design point is the difference between an in-memory ANN index
+per executor and spilling every probe. The trade-off is bounded: max-abs
+symmetric quantization keeps cosine rank order almost exactly (the scale
+cancels out of the quantized cosine — see :func:`quantized_cosine_topk`),
+and the recall-vs-exact test pins it.
+
+Everything here is pure column expressions (``transform`` / ``aggregate``
+HOFs — whole-stage codegen, no UDFs), and the quantization rule is plain
+double arithmetic, so DuckDB reproduces the codes BIT-EXACTLY and the
+driver oracle compares integer dot products — no float-hash fragility.
+
+Reference parity note: the reference crawler stores media/embedding-free
+rows (e.g. /root/reference/store/xhs/xhs_store_impl.py) — quantization is
+part of the training-data-pipeline surface this engine adds on top, not a
+reference port.
+
+Quantization rule (both engines, both sides of every oracle):
+
+    amax  = max_i |double(x_i)|
+    code_i = floor(double(x_i) * 127.0 / amax + 0.5)   (amax > 0)
+    code_i = 0                                          (amax = 0)
+
+``floor(t + 0.5)`` is round-half-up — unlike ``round()`` whose half-away
+semantics differ subtly across engines, this exact formula is the same
+IEEE-754 double expression everywhere. Codes span [-127, 127] by
+construction (x = ±amax ⇒ ±127), so they fit int8; we carry them as
+``array<int>`` for arithmetic and the storage claim is the tinyint cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _amax(vec: Column) -> Column:
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+
+
+def int8_codes(vec: Column) -> Column:
+    """array<int> of symmetric int8 codes for a float-vector column."""
+    amax = _amax(vec)
+    return F.when(
+        amax > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / amax + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q: array<int>, scale: double) — symmetric per-vector int8
+    quantization. ``scale = amax/127`` dequantizes: x̂_i = q_i · scale.
+    Zero vectors quantize to all-zero codes with scale 0."""
+    amax = _amax(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        int8_codes(F.col(vec_col)).alias("q"),
+        (amax / F.lit(127.0)).alias("scale"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int-code arrays (long accumulator:
+    |dot| ≤ dim·127² — overflow-safe far past any real dim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query IN THE QUANTIZED SPACE —
+    (query_id, neighbor_id, rank, qdot).
+
+    The per-vector scales cancel out of the quantized cosine:
+
+        cos_q = (s_a s_b · dot_int) / (s_a·√aa_int · s_b·√bb_int)
+              = dot_int / √(aa_int · bb_int)
+
+    so ranking is a function of INTEGER dot products only — bit-identical
+    across engines, which is what lets the driver oracle hash-compare
+    ``qdot`` (the exact integer query·neighbor dot) instead of a float.
+    Same broadcast shape as the float baseline (cosine_topk): |Q| tiny,
+    corpus never shuffles, top-k is a per-query window. Ties break on
+    neighbor id; zero-norm codes score 0.
+    """
+    q = quantize_int8(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("q").alias("qa"),
+        _idot(F.col("q"), F.col("q")).alias("aa"),
+    )
+    c = quantize_int8(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        _idot(F.col("q"), F.col("q")).alias("bb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", _idot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cos_q",
+            F.when(
+                (F.col("aa") > 0) & (F.col("bb") > 0),
+                F.col("qdot")
+                / F.sqrt(F.col("aa").cast("double") * F.col("bb").cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )

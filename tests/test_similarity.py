@@ -277,3 +277,60 @@ def test_ivf_refined_hot_cell_is_distributed(spark):
     plan = buf.getvalue()
     assert "FlatMapGroupsInPandas" not in plan
     assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------- int8 quantization ----
+def test_quantize_int8_codes_bounded_and_exact(spark, emb):
+    """Codes live in [-127, 127]; the max-|x| element maps to ±127; a zero
+    vector maps to all-zero codes with scale 0 (no NULLs, no NaNs)."""
+    from mediacrawler_spark.operators.quantize import quantize_int8
+
+    z = spark.createDataFrame(
+        [(9999, [0.0] * DIM)], "vec_id long, embedding array<float>"
+    )
+    qz = quantize_int8(emb.unionByName(z)).collect()
+    by_id = {r["id"]: r for r in qz}
+    for r in qz:
+        assert all(-127 <= c <= 127 for c in r["q"]), r
+        assert all(c is not None for c in r["q"])
+    assert by_id[9999]["q"] == [0] * DIM and by_id[9999]["scale"] == 0.0
+    # the argmax-|x| component quantizes to exactly ±127
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for vid, v in list(src.items())[:10]:
+        i = int(np.argmax(np.abs(np.array(v, dtype=np.float64))))
+        assert abs(by_id[vid]["q"][i]) == 127
+
+
+def test_quantized_topk_recall_vs_exact(spark, emb):
+    """Int8 quantization barely perturbs cosine rank order: top-3 overlap
+    with the float32-exact baseline >= 0.85 on the clustered corpus."""
+    from mediacrawler_spark.operators.quantize import quantized_cosine_topk
+
+    rows = emb.collect()
+    want = _numpy_topk([(r["vec_id"], r["embedding"]) for r in rows])
+    q = emb.filter(F.col("vec_id") < 6)
+    got_rows = quantized_cosine_topk(emb, q, k=3).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(qi, set()) & set(want[qi])) for qi in want)
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.85, f"quantized recall {hits}/{total}"
+
+
+def test_quantized_topk_plan_is_pure_codegen(spark, emb):
+    """The whole quantize + integer-dot + top-k pipeline is column
+    expressions: no Python eval node of any kind in the physical plan,
+    and the query side is broadcast (corpus never shuffles for scoring)."""
+    from mediacrawler_spark.operators.quantize import quantized_cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 6)
+    plan = (
+        quantized_cosine_topk(emb, q, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
