@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Calibration-gated process-cluster pair sampler (N vs 4N executor JVMs).
+
+Same gating discipline as ``run_pair_gated.py`` (this VM's co-tenancy
+windows swing same-binary throughput 2-20x for minutes; BENCH/BASELINE.md
+round-4/5 notes), applied to the north-rule's actual shape: N vs 4N
+*executor processes*, each its own taskset-pinned local[c] JVM computing
+its ``pmod(xxhash64(url), E)`` shard of the same admission job
+(``run_scaling_cluster.run_cluster``).
+
+  loop:
+    probe host (single-core + 8-proc calib); if unhealthy: sleep, retry
+    run the 1-executor arm, then the 4-executor arm back-to-back
+    re-probe; accept the pair only if the window survived both arms
+
+Each sample (accepted or not) appends one JSON line to
+BENCH/cluster_pair_samples.jsonl; BASELINE.md is updated by hand from
+accepted samples only.
+
+Usage: python BENCH/run_cluster_pair_gated.py [n_urls] [max_minutes] [gate] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "BENCH"))
+
+from bench import host_calibration, host_calibration_mc  # noqa: E402
+from run_scaling_cluster import run_cluster  # noqa: E402
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    gate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.08
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    log = REPO / "BENCH" / "cluster_pair_samples.jsonl"
+    deadline = time.time() + max_minutes * 60
+    accepted = 0
+    while time.time() < deadline:
+        calib = host_calibration()
+        mc = host_calibration_mc()
+        stamp = time.strftime("%H:%M:%S", time.gmtime())
+        if calib > gate:
+            print(f"{stamp} gate closed: calib {calib} mc {mc}", flush=True)
+            time.sleep(60)
+            continue
+        print(f"{stamp} gate OPEN (calib {calib} mc {mc}) — firing cluster pair", flush=True)
+        lo = run_cluster(1, n_urls, cores)
+        hi = run_cluster(4, n_urls, cores)
+        calib2 = host_calibration()
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
+        sample = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "n_urls": n_urls,
+            "cores_per_exec": cores,
+            "calib_before": calib,
+            "calib_mc_before": mc,
+            "calib_after": calib2,
+            "accepted": calib2 <= gate,
+            "lo": lo,
+            "hi": hi,
+            "efficiency_1_to_4": round(eff, 3),
+        }
+        with open(log, "a") as f:
+            f.write(json.dumps(sample) + "\n")
+        print(json.dumps(sample), flush=True)
+        if sample["accepted"]:
+            accepted += 1
+            if eff >= 0.8:
+                print("PASS cluster pair captured — stopping.", flush=True)
+                return
+            if accepted >= 4:
+                print("4 accepted cluster pairs without a PASS — stopping.", flush=True)
+                return
+
+
+if __name__ == "__main__":
+    main()
