@@ -1,16 +1,18 @@
-"""Pure stdlib+numpy baseline JPEG decoder.
+"""Pure stdlib+numpy baseline + progressive JPEG decoder.
 
 Companion to the PNG path (``operators/media.py:png_decode_one``): makes
 the S7 codec step REAL for the dominant crawl image format in
 environments without PIL (this container). Scope: baseline sequential
-DCT (SOF0), 8-bit samples, Huffman entropy coding (tables read from the
-stream's DHT segments — arbitrary valid tables, not just Annex K),
-grayscale or YCbCr with any sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0,
-…), restart markers (DRI / RSTn), byte stuffing. Returns the LUMA plane
-as float32 in [0,1] — the same grayscale contract as the PNG decoder —
-or ``None`` for anything outside the subset (progressive SOF2,
-arithmetic coding, 12-bit, truncated streams): honest NULL, never a
-guess.
+DCT (SOF0) AND progressive DCT (SOF2 — spectral selection and
+successive approximation, DC/AC first and refinement scans, EOB runs),
+8-bit samples, Huffman entropy coding (tables read from the stream's
+DHT segments — arbitrary valid tables, not just Annex K), grayscale or
+YCbCr with any sampling factors ≤ 4 (4:4:4, 4:2:2, 4:2:0, …),
+interleaved and non-interleaved scans, restart markers (DRI / RSTn),
+byte stuffing. Returns the LUMA plane as float32 in [0,1] — the same
+grayscale contract as the PNG decoder — or ``None`` for anything
+outside the subset (arithmetic coding, hierarchical, 12-bit, lossless,
+truncated streams): honest NULL, never a guess.
 
 Everything here derives from the public JPEG spec (ITU-T T.81); the
 zigzag order and the IDCT basis are generated from their defining
@@ -158,13 +160,24 @@ def jpeg_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], _Huffman] = {}  # (class, id) -> table
         frame = None  # (w, h, components)
+        progressive = False
+        prog_coefs = None  # comp id -> (blocks_y, blocks_x, 64) int32, zigzag
+        scans_done = 0
         restart_interval = 0
         pos = 2
-        while pos + 4 <= len(buf):
+        while pos + 2 <= len(buf):
             if buf[pos] != 0xFF:
                 return None
             marker = buf[pos + 1]
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI
+                if progressive and scans_done and prog_coefs is not None:
+                    w, h, comps = frame
+                    return _reconstruct_progressive(w, h, comps, qt, prog_coefs)
+                return None  # baseline: EOI before SOS
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # stray RSTn / TEM: parameterless, skip
+                continue
+            if pos + 4 > len(buf):
                 return None
             ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
             seg = buf[pos + 4 : pos + 2 + ln]
@@ -200,7 +213,7 @@ def jpeg_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
                         return None
                     huff[(cls, tid)] = _Huffman(counts, syms)
                     p += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 if seg[0] != 8:
                     return None
                 h = int.from_bytes(seg[1:3], "big")
@@ -219,9 +232,10 @@ def jpeg_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
                 ):
                     return None
                 frame = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                progressive = marker == 0xC2
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types
+                return None  # extended/arithmetic/lossless frame types
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -229,19 +243,53 @@ def jpeg_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
                     return None
                 w, h, comps = frame
                 ns = seg[0]
-                if ns != len(comps):
-                    return None
-                sel = {}
+                sel = {}  # insertion order = scan component order
                 for i in range(ns):
                     cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                     sel[cs] = (tt >> 4, tt & 0x0F)
-                for c in comps:
-                    if c["id"] not in sel:
+                if not progressive:
+                    if ns != len(comps):
                         return None
-                    c["dc"], c["ac"] = sel[c["id"]]
-                return _decode_scan(
-                    buf, pos + 2 + ln, w, h, comps, qt, huff, restart_interval
+                    for c in comps:
+                        if c["id"] not in sel:
+                            return None
+                        c["dc"], c["ac"] = sel[c["id"]]
+                    return _decode_scan(
+                        buf, pos + 2 + ln, w, h, comps, qt, huff,
+                        restart_interval,
+                    )
+                # progressive: one of possibly many scans
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if ss == 0:
+                    if se != 0:
+                        return None  # DC scan must be the DC coeff alone
+                else:
+                    if ns != 1 or se < ss or se > 63:
+                        return None  # AC scans are single-component
+                if ah > 13 or al > 13:
+                    return None
+                by_id = {c["id"]: c for c in comps}
+                scan_comps = []
+                for cs, (dc_id, ac_id) in sel.items():
+                    c = by_id.get(cs)
+                    if c is None:
+                        return None
+                    c["dc"], c["ac"] = dc_id, ac_id
+                    if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+                        return None
+                    if ss > 0 and (1, ac_id) not in huff:
+                        return None
+                    scan_comps.append(c)
+                if prog_coefs is None:
+                    prog_coefs = _alloc_prog_coefs(w, h, comps)
+                pos = _progressive_scan(
+                    buf, pos + 2 + ln, w, h, comps, scan_comps,
+                    ss, se, ah, al, huff, prog_coefs, restart_interval,
                 )
+                scans_done += 1
+                continue
             # APPn / COM / anything else: skip
             pos += 2 + ln
         return None
@@ -312,4 +360,191 @@ def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval):
             np.repeat(luma, vmax // c0["v"], axis=0), hmax // c0["h"], axis=1
         )
     luma = np.clip(luma[:h, :w], 0, 255).astype(np.float32)
+    return w, h, luma / 255.0
+
+
+# ---------------------------------------------------- progressive (SOF2) ----
+# T.81 Annex G: each SOS covers one spectral band [Ss, Se] at one
+# successive-approximation level (Ah = previous Al, Al = this scan's bit
+# position). Coefficients accumulate across scans in zigzag order and are
+# dequantized + IDCT'd once at EOI.
+
+
+def _alloc_prog_coefs(w, h, comps):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _ac_first(br, tbl, coef, ss, se, al, eobrun):
+    """Decode one block of an AC first scan (Ah=0): run/size coding with
+    end-of-band runs (EOBn symbols: run of 2^r + r extension bits blocks
+    whose band is entirely zero from here on). Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = tbl.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, tbl, coef, ss, se, al, eobrun):
+    """Decode one block of an AC refinement scan (Ah=Al+1): newly
+    significant coefficients arrive as run/1 symbols with a sign bit;
+    already-nonzero coefficients consume one correction bit each as the
+    run advances past them (they do not count toward the run length)."""
+    p1 = 1 << al
+
+    def correct(k_):
+        if br.read_bit() and (coef[k_] & p1) == 0:
+            coef[k_] += p1 if coef[k_] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tbl.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refinement size != 1")
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("jpeg: AC band overflow")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # rest of the band: correction bits only
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    buf, start, w, h, comps, scan_comps, ss, se, ah, al, huff, coefs,
+    restart_interval,
+):
+    """Decode one progressive scan's entropy data into ``coefs``; returns
+    the byte offset of the next marker after the scan."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scan_comps) == 1:
+        # non-interleaved: MCU = one block, over the component's own
+        # ceil(dim/8) grid (interleaved-grid padding blocks stay uncoded)
+        c = scan_comps[0]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        total = nbx * nby
+
+        def mcu_blocks(i):
+            return ((c, i // nbx, i % nbx),)
+
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        total = mcux * mcuy
+
+        def mcu_blocks(i):
+            my, mx = divmod(i, mcux)
+            return tuple(
+                (c, my * c["v"] + by, mx * c["h"] + bx)
+                for c in scan_comps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            )
+
+    br = _BitReader(buf, start)
+    pred = {c["id"]: 0 for c in scan_comps}
+    eobrun = 0
+    n_rst = 0
+    for i in range(total):
+        if restart_interval and i and i % restart_interval == 0:
+            br.align_and_expect_rst(n_rst)
+            n_rst += 1
+            pred = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+        for c, by, bx in mcu_blocks(i):
+            coef = coefs[c["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: diff-coded, point transform << Al
+                    t = huff[(0, c["dc"])].decode(br)
+                    pred[c["id"]] += _extend(br.receive(t), t)
+                    coef[0] = pred[c["id"]] << al
+                elif br.read_bit():  # DC refinement: one bit per block
+                    coef[0] |= 1 << al
+            else:
+                tbl = huff[(1, c["ac"])]
+                if ah == 0:
+                    eobrun = _ac_first(br, tbl, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, tbl, coef, ss, se, al, eobrun)
+    if br.marker is not None:
+        return br.pos  # _fill stopped ON the marker's FF byte
+    p = br.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(buf)
+
+
+def _reconstruct_progressive(w, h, comps, qt, coefs):
+    """Dequantize + IDCT the accumulated luma coefficients (vectorized
+    over all blocks at once) and crop to the frame size."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    c0 = comps[0]
+    if c0["tq"] not in qt:
+        raise ValueError("jpeg: missing quant table")
+    zz = coefs[c0["id"]].astype(np.float64) * qt[c0["tq"]]
+    raster = np.zeros_like(zz)
+    raster[..., _ZIGZAG] = zz
+    nby, nbx = raster.shape[:2]
+    blocks = raster.reshape(nby, nbx, 8, 8)
+    spat = np.einsum("ka,ijkl,lb->ijab", _DCT, blocks, _DCT) + 128.0
+    plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    if c0["h"] != hmax or c0["v"] != vmax:
+        plane = np.repeat(
+            np.repeat(plane, vmax // c0["v"], axis=0), hmax // c0["h"], axis=1
+        )
+    luma = np.clip(plane[:h, :w], 0, 255).astype(np.float32)
     return w, h, luma / 255.0

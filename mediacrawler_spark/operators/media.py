@@ -6,7 +6,7 @@ The Spark-side plumbing is real and tested — schema, partitioning,
 automatically if importable (general formats); without it, pure
 stdlib+numpy decoders handle the two dominant crawl image formats for
 REAL — PNG (``png_decode_one``: zlib inflate + scanline unfiltering,
-8-bit gray/RGB/GA/RGBA non-interlaced) and baseline JPEG
+8-bit gray/RGB/GA/RGBA non-interlaced) and baseline + progressive JPEG
 (``operators/jpeg.py``: Huffman + dequant + IDCT, grayscale/YCbCr, any
 sampling, restart markers) — and anything else decodes to NULL
 metadata. ``_fake_decode`` (deterministic byte-math stand-in) remains
@@ -393,7 +393,7 @@ def _audio_feature(mono: np.ndarray, bins: int = _FEATURE_DIM) -> list[float]:
 
 
 def _decode_any(data: bytes) -> tuple[int, int, np.ndarray] | None:
-    """PIL-free codec dispatch: PNG subset, then baseline JPEG — the two
+    """PIL-free codec dispatch: PNG subset, then baseline + progressive JPEG — the two
     dominant crawl image formats, both decoded for REAL."""
     from mediacrawler_spark.operators.jpeg import jpeg_decode_one
 
@@ -405,7 +405,7 @@ def _decode_any(data: bytes) -> tuple[int, int, np.ndarray] | None:
 
 def _stdlib_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     """PIL-free decoder: REAL decode for the supported PNG subset,
-    baseline JPEG, and RIFF WAV audio; NULL metadata for anything else
+    baseline + progressive JPEG, and RIFF WAV audio; NULL metadata for anything else
     (honest 'undecodable', same contract as _pil_decode's failure
     branch). Audio rows carry NULL width/height, n_frames = sample
     count, and the RMS-envelope feature."""

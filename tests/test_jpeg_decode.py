@@ -6,7 +6,8 @@ with the decoder beyond the T.81 spec; the zigzag table is hardcoded
 here from the published spec figure while the decoder generates it from
 the traversal rule). Covers grayscale, YCbCr 4:4:4 and 4:2:0, restart
 markers, 16-bit quant tables, and the honest-None contract for
-progressive / truncated / non-JPEG input.
+malformed / truncated / non-JPEG input. (Valid progressive streams are
+covered separately in tests/test_jpeg_progressive.py.)
 """
 
 import struct
@@ -320,10 +321,12 @@ def test_rejects_non_jpeg(blob):
     assert jpeg_decode_one(blob) is None
 
 
-def test_rejects_progressive_and_truncated():
+def test_rejects_malformed_and_truncated():
     img = np.full((16, 16), 90, dtype=np.uint8)
     good = encode_jpeg(img)
-    # flip SOF0 -> SOF2 (progressive): marker byte right before the SOF body
+    # flip SOF0 -> SOF2: the baseline-style full-band scan header (Ss=0,
+    # Se=63) is malformed inside a progressive frame — DC scans must
+    # carry the DC coefficient alone
     prog = bytearray(good)
     idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
