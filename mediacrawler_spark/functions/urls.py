@@ -218,11 +218,27 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     parquet, the bench generator), never an expensive lazy chain. Batch
     only — streaming keeps the Column hybrid (one pass, no union).
     Byte-parity with the Column path is pinned in tests/test_urls.py."""
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(_split_canonical_exprs, url_col)
+    fast = df.filter(d["ok"]).withColumn(url_col, d["fast"])
+    slow = df.filter(d["not_ok"]).withColumn(url_col, d["slow"])
+    return fast.unionByName(slow)
+
+
+def _split_canonical_exprs(url_col: str) -> dict:
+    """Static Column trees of :func:`with_canonical_url`, built once per
+    session per url column (functions/exprcache.py) — the canonicalizer
+    tree is the largest expression in the epoch loop and rebuilding it
+    every epoch was ~85 py4j round-trips."""
     u = F.trim(F.coalesce(F.col(url_col), F.lit("")))
     ok = u.rlike(_JVM_ELIGIBLE)
-    fast = df.filter(ok).withColumn(url_col, _canonicalize_expr(u))
-    slow = df.filter(~ok).withColumn(url_col, _canonicalize_slow(u))
-    return fast.unionByName(slow)
+    return {
+        "ok": ok,
+        "not_ok": ~ok,
+        "fast": _canonicalize_expr(u),
+        "slow": _canonicalize_slow(u),
+    }
 
 
 def with_url_key(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -303,6 +303,19 @@ def dedup_against_seen(
     return definitely_new.unionByName(confirmed_new)
 
 
+def _within_batch_exprs(cols: tuple) -> dict:
+    """Static Column trees of :func:`dedup_within_batch` for one column
+    layout, built once per session (functions/exprcache.py) — rebuilding
+    the pack/unpack lists every epoch was ~500 py4j round-trips."""
+    lead = ["priority", "seq", "url"]
+    rest = [c for c in cols if c not in lead]
+    return {
+        "packed": F.struct(*[F.col(c) for c in lead], *[F.col(c) for c in rest]),
+        "unpack": [F.col(f"r.{c}").alias(c) for c in cols if c != "url_hash"],
+        "out": list(cols),
+    }
+
+
 def dedup_within_batch(candidates: DataFrame) -> DataFrame:
     """Deterministic intra-batch dedup: keep the (priority, seq, url)-minimal
     row per url_hash. The reference never enqueues the same URL twice within
@@ -312,18 +325,15 @@ def dedup_within_batch(candidates: DataFrame) -> DataFrame:
     Implemented as ``min(struct(ordering keys, rest...))`` — the struct
     comparator short-circuits on the leading keys, measured ~8× faster than
     ``min_by(struct(all), key)`` at 2M rows."""
-    lead = ["priority", "seq", "url"]
-    rest = [c for c in candidates.columns if c not in lead]
-    packed = F.struct(*[F.col(c) for c in lead], *[F.col(c) for c in rest])
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(_within_batch_exprs, tuple(candidates.columns))
     # project the GROUP KEY itself (not r.url_hash): keeps Catalyst's
     # partitioning knowledge alive so the downstream anti-join on url_hash
     # reuses this exchange instead of re-shuffling the whole admitted set
     return (
         candidates.groupBy("url_hash")
-        .agg(F.min(packed).alias("r"))
-        .select(
-            "url_hash",
-            *[F.col(f"r.{c}").alias(c) for c in candidates.columns if c != "url_hash"],
-        )
-        .select(*candidates.columns)
+        .agg(F.min(d["packed"]).alias("r"))
+        .select("url_hash", *d["unpack"])
+        .select(*d["out"])
     )

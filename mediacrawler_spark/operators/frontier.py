@@ -59,32 +59,51 @@ def seeds_to_candidates(seeds: DataFrame, epoch: int = 0) -> DataFrame:
     )
 
 
-def classify_outcomes(fetched: DataFrame, epoch: int) -> dict[str, DataFrame]:
-    """Split one epoch's fetch results into success / retry / quarantine."""
-    successes = fetched.filter(F.col("status") == 200)
-    retry_src = fetched.filter(
-        F.col("status").isin(list(RETRYABLE)) & (F.col("attempt") + 1 < MAX_ATTEMPTS)
-    )
-    exhausted = fetched.filter(
-        F.col("status").isin(list(RETRYABLE)) & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
-    )
-    permanent = fetched.filter(F.col("status").isin(list(PERMANENT)))
+def _classify_exprs() -> dict:
+    """Static Column trees of :func:`classify_outcomes`, built once per
+    session (functions/exprcache.py). The epoch enters via the constant
+    ``_ep`` int column the caller attaches where needed — Catalyst's
+    CollapseProject + constant folding reduce it to the same literal the
+    old per-epoch ``F.lit(epoch)`` trees produced."""
+    ep = F.col("_ep")
+    d: dict = {}
+    d["success_f"] = F.col("status") == 200
+    retryable = F.col("status").isin(list(RETRYABLE))
+    d["retry_f"] = retryable & (F.col("attempt") + 1 < MAX_ATTEMPTS)
+    d["exhausted_f"] = retryable & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
+    d["permanent_f"] = F.col("status").isin(list(PERMANENT))
+    d["blocking_f"] = F.col("status").isin(list(BLOCKING))
     # R2: exponential epoch backoff 2^attempt, capped
-    retries = retry_src.select(
+    d["retries_sel"] = [
         *[F.col(c) for c in FRONTIER_COLS if c not in ("attempt", "not_before_epoch", "epoch")],
         (F.col("attempt") + 1).alias("attempt"),
         F.least(
-            F.lit(epoch) + F.pow(F.lit(2), F.col("attempt")).cast("int"),
-            F.lit(epoch + BACKOFF_CAP),
+            ep + F.pow(F.lit(2), F.col("attempt")).cast("int"),
+            ep + F.lit(BACKOFF_CAP),
         ).cast("int").alias("not_before_epoch"),
-        F.lit(epoch).cast("int").alias("epoch"),
-    ).select(*FRONTIER_COLS)
-    quarantined_hosts = (
-        fetched.filter(F.col("status").isin(list(BLOCKING)))
-        .select("host")
-        .distinct()
-        .withColumn("quarantined_until", F.lit(epoch + QUARANTINE_EPOCHS).cast("int"))
+        ep.alias("epoch"),
+    ]
+    d["quar_sel"] = [
+        F.col("host"),
+        (ep + F.lit(QUARANTINE_EPOCHS)).cast("int").alias("quarantined_until"),
+    ]
+    return d
+
+
+def classify_outcomes(fetched: DataFrame, epoch: int) -> dict[str, DataFrame]:
+    """Split one epoch's fetch results into success / retry / quarantine."""
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(_classify_exprs)
+    successes = fetched.filter(d["success_f"])
+    exhausted = fetched.filter(d["exhausted_f"])
+    permanent = fetched.filter(d["permanent_f"])
+    withep = fetched.withColumn("_ep", F.lit(epoch).cast("int"))
+    retries = (
+        withep.filter(d["retry_f"]).select(*d["retries_sel"]).select(*FRONTIER_COLS)
     )
+    # distinct over (host, constant) ≡ distinct over host
+    quarantined_hosts = withep.filter(d["blocking_f"]).select(*d["quar_sel"]).distinct()
     return {
         "successes": successes,
         "retries": retries,

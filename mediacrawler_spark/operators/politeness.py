@@ -107,6 +107,41 @@ def merge_quarantine(politeness: DataFrame, quarantine: DataFrame) -> DataFrame:
 _DEFAULT_WINNER_CACHE: dict = {}
 
 
+def _select_exprs(default_budget: int, salt_splits: int) -> dict:
+    """Static Column/WindowSpec trees of :func:`select_fetch_set`, built
+    once per session per (budget, salt) config (functions/exprcache.py) —
+    rebuilding the window specs and select lists every epoch was ~250
+    py4j round-trips. Every column reference here is unambiguous by
+    construction (the politeness side is renamed ``_p_host`` before the
+    join; winner keys are renamed ``_w_hash``)."""
+    d: dict = {}
+    d["pol_sel"] = [
+        F.col("host").alias("_p_host"),
+        F.col("budget_per_epoch"),
+        F.col("quarantined_until"),
+    ]
+    d["pol_cond"] = F.col("host") == F.col("_p_host")
+    d["budget_sel"] = [
+        F.coalesce(F.col("budget_per_epoch"), F.lit(default_budget)).alias("_budget"),
+        F.coalesce(F.col("quarantined_until"), F.lit(0)).alias("_quar"),
+    ]
+    order = [F.col(c).asc() for c in ORDER_COLS]
+    d["salt_col"] = F.pmod(F.col("url_hash"), F.lit(salt_splits))
+    d["lrk_col"] = F.row_number().over(W.partitionBy("host", "_salt").orderBy(*order))
+    d["lrk_f"] = F.col("_lrk") <= F.col("_budget")
+    d["rank_col"] = F.row_number().over(W.partitionBy("host").orderBy(*order))
+    d["rank_f"] = F.col("host_rank") <= F.col("_budget")
+    d["winner_sel"] = [
+        F.col("url_hash").alias("_w_hash"),
+        F.col("host_rank"),
+        F.concat_ws("#", F.col("host"), F.col("_salt").cast("string")).alias(
+            "salted_host"
+        ),
+    ]
+    d["rejoin_cond"] = F.col("url_hash") == F.col("_w_hash")
+    return d
+
+
 def select_fetch_set(
     frontier: DataFrame,
     politeness: DataFrame,
@@ -133,49 +168,29 @@ def select_fetch_set(
     # priority, seq) is ~30 bytes/row vs ~150+ for a full frontier row, so
     # both shuffles move 5× less data. Winners (budget-bounded, small by
     # construction) are broadcast back to pick up their full rows.
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(_select_exprs, default_budget, salt_splits)
     due = frontier.filter(F.col("not_before_epoch") <= F.lit(epoch))
     held = frontier.filter(F.col("not_before_epoch") > F.lit(epoch))
 
-    pol = politeness.select(
-        F.col("host").alias("_p_host"),
-        F.col("budget_per_epoch"),
-        F.col("quarantined_until"),
-    )
+    pol = politeness.select(*d["pol_sel"])
     narrow = due.select("url_hash", "host", "priority", "seq")
-    with_budget = narrow.join(
-        F.broadcast(pol), narrow["host"] == F.col("_p_host"), "left"
-    ).select(
-        narrow["*"],
-        F.coalesce(F.col("budget_per_epoch"), F.lit(default_budget)).alias("_budget"),
-        F.coalesce(F.col("quarantined_until"), F.lit(0)).alias("_quar"),
+    with_budget = narrow.join(F.broadcast(pol), d["pol_cond"], "left").select(
+        "url_hash", "host", "priority", "seq", *d["budget_sel"]
     )
     eligible = with_budget.filter(F.col("_quar") <= F.lit(epoch))
 
-    order = [F.col(c).asc() for c in ORDER_COLS]
-
     # phase 1: per-salt local prune (bounds hot-host fan-in to S×budget).
     # The window's partitionBy does the (host, salt) shuffle itself.
-    salted = eligible.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_splits))
-    )
-    w_local = W.partitionBy("host", "_salt").orderBy(*order)
-    pruned = (
-        salted.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= F.col("_budget"))
-    )
+    salted = eligible.withColumn("_salt", d["salt_col"])
+    pruned = salted.withColumn("_lrk", d["lrk_col"]).filter(d["lrk_f"])
 
     # phase 2: exact per-host rank over ≤ S×budget survivors
-    w_host = W.partitionBy("host").orderBy(*order)
     winner_keys = (
-        pruned.withColumn("host_rank", F.row_number().over(w_host))
-        .filter(F.col("host_rank") <= F.col("_budget"))
-        .select(
-            F.col("url_hash").alias("_w_hash"),
-            F.col("host_rank"),
-            F.concat_ws("#", F.col("host"), F.col("_salt").cast("string")).alias(
-                "salted_host"
-            ),
-        )
+        pruned.withColumn("host_rank", d["rank_col"])
+        .filter(d["rank_f"])
+        .select(*d["winner_sel"])
     )
 
     # rejoin: persist + count the winner set (budget-bounded by
@@ -200,8 +215,6 @@ def select_fetch_set(
         # shuffle path: millions of hosts would exceed broadcast limits
         wk = winner_keys
         wk_anti = winner_keys.select("_w_hash")
-    selected = due.join(wk, due["url_hash"] == F.col("_w_hash"), "inner").drop("_w_hash")
-    deferred = held.unionByName(
-        due.join(wk_anti, due["url_hash"] == F.col("_w_hash"), "left_anti")
-    )
+    selected = due.join(wk, d["rejoin_cond"], "inner").drop("_w_hash")
+    deferred = held.unionByName(due.join(wk_anti, d["rejoin_cond"], "left_anti"))
     return selected, deferred

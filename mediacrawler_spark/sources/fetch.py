@@ -38,33 +38,48 @@ PERMANENT = (403, 404)
 RESPONSE_COLS = ("status", "body_kind", "note_id", "has_more", "next_cursor", "items", "comments")
 
 
-def fetch_via_corpus(selected: DataFrame, pages: DataFrame) -> DataFrame:
-    """Attach synthetic responses. ``selected`` is one epoch's fetch set
-    (small); ``pages`` is the web corpus (large). Catalyst/AQE picks the
-    broadcast side; the join key is the exact URL."""
-    resp = pages.select(
-        F.col("url").alias("_p_url"),
-        F.col("status").alias("_p_status"),
-        *[F.col(c) for c in ("body_kind", "note_id", "has_more", "next_cursor", "items", "comments")],
-        F.col("fail_times"),
-    )
-    joined = selected.join(resp, selected["url"] == F.col("_p_url"), "left")
+def _fetch_exprs() -> dict:
+    """Static Column trees of :func:`fetch_via_corpus`, built once per
+    session (functions/exprcache.py). All references are unambiguous by
+    construction: the pages side renames its url/status to ``_p_*``
+    before the join, so ``url``/``attempt`` resolve to the selected
+    side only."""
     status = (
         F.when(F.col("_p_url").isNull(), F.lit(404))
         # attempt-dependent transient failure (retry fixture)
         .when(F.col("attempt") < F.col("fail_times"), F.lit(503))
         .otherwise(F.col("_p_status"))
     )
-    return (
-        joined.withColumn("status", status)
-        .withColumn("body_kind", F.coalesce(F.col("body_kind"), F.lit("")))
-        .withColumn("note_id", F.coalesce(F.col("note_id"), F.lit("")))
-        .withColumn("has_more", F.coalesce(F.col("has_more"), F.lit(False)))
-        .withColumn("next_cursor", F.coalesce(F.col("next_cursor"), F.lit("")))
-        .withColumn("items", F.coalesce(F.col("items"), F.array()))
-        .withColumn("comments", F.coalesce(F.col("comments"), F.array()))
-        .drop("_p_url", "_p_status", "fail_times")
-    )
+    return {
+        "resp_sel": [
+            F.col("url").alias("_p_url"),
+            F.col("status").alias("_p_status"),
+            *[F.col(c) for c in ("body_kind", "note_id", "has_more", "next_cursor", "items", "comments")],
+            F.col("fail_times"),
+        ],
+        "join_cond": F.col("url") == F.col("_p_url"),
+        "fill": {
+            "status": status,
+            "body_kind": F.coalesce(F.col("body_kind"), F.lit("")),
+            "note_id": F.coalesce(F.col("note_id"), F.lit("")),
+            "has_more": F.coalesce(F.col("has_more"), F.lit(False)),
+            "next_cursor": F.coalesce(F.col("next_cursor"), F.lit("")),
+            "items": F.coalesce(F.col("items"), F.array()),
+            "comments": F.coalesce(F.col("comments"), F.array()),
+        },
+    }
+
+
+def fetch_via_corpus(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """Attach synthetic responses. ``selected`` is one epoch's fetch set
+    (small); ``pages`` is the web corpus (large). Catalyst/AQE picks the
+    broadcast side; the join key is the exact URL."""
+    from mediacrawler_spark.functions.exprcache import cached_exprs
+
+    d = cached_exprs(_fetch_exprs)
+    resp = pages.select(*d["resp_sel"])
+    joined = selected.join(resp, d["join_cond"], "left")
+    return joined.withColumns(d["fill"]).drop("_p_url", "_p_status", "fail_times")
 
 
 def fetch_live(
