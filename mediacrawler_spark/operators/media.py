@@ -6,7 +6,8 @@ The Spark-side plumbing is real and tested — schema, partitioning,
 automatically if importable (general formats); without it, pure
 stdlib+numpy decoders handle the two dominant crawl image formats for
 REAL — PNG (``png_decode_one``: zlib inflate + scanline unfiltering,
-8-bit gray/RGB/GA/RGBA non-interlaced) and baseline + progressive JPEG
+8-bit gray/RGB/palette/GA/RGBA, sequential or Adam7) and baseline +
+progressive JPEG
 (``operators/jpeg.py``: Huffman + dequant + IDCT, grayscale/YCbCr, any
 sampling, restart markers) — and anything else decodes to NULL
 metadata. ``_fake_decode`` (deterministic byte-math stand-in) remains
@@ -112,26 +113,70 @@ def _pil_decode(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# samples per pixel by PNG color type (8-bit, non-interlaced supported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by PNG color type (8-bit; type 3 = palette indices)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, ch: int):
+    """Reverse the five PNG scanline filters over ``h`` rows of ``stride``
+    bytes starting at ``raw[off]`` (each row prefixed by its filter byte).
+    Returns ``(rows as (h, stride) uint8, offset after the last row)``;
+    raises on an unknown filter type. Shared by the sequential path and
+    each Adam7 pass (a pass restarts with a zero previous row)."""
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[off : off + stride + 1]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError("png: unknown filter type")
+        img[y] = line
+        prev = line
+        off += stride + 1
+    return img, off
 
 
 def png_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
     """Pure-stdlib PNG decoder (zlib + numpy): 8-bit depth, color types
-    gray/RGB/gray-alpha/RGBA, non-interlaced, all five scanline filters.
+    gray/RGB/palette/gray-alpha/RGBA, sequential AND Adam7-interlaced,
+    all five scanline filters.
 
     Exists so the 'codec step' is REAL for the most common crawl image
     format even in environments without PIL (this container) — the
     import-gated PIL path remains the general codec. Returns
     (width, height, HxW float32 grayscale in [0,1]) or None when the
-    blob is not a PNG this subset covers (palette, 16-bit, interlaced,
+    blob is not a PNG this subset covers (sub-8/16-bit depths,
     truncated)."""
     import zlib
 
     if not data or not bytes(data).startswith(_PNG_SIG):
         return None
     buf = bytes(data)
-    pos, idat, ihdr = len(_PNG_SIG), [], None
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
     try:
         while pos + 8 <= len(buf):
             ln = int.from_bytes(buf[pos : pos + 4], "big")
@@ -141,6 +186,8 @@ def png_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
                 return None
             if typ == b"IHDR":
                 ihdr = body
+            elif typ == b"PLTE":
+                plte = body
             elif typ == b"IDAT":
                 idat.append(body)
             elif typ == b"IEND":
@@ -151,47 +198,45 @@ def png_decode_one(data: bytes) -> tuple[int, int, np.ndarray] | None:
         w = int.from_bytes(ihdr[0:4], "big")
         h = int.from_bytes(ihdr[4:8], "big")
         bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-        if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        if bit_depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
             return None
         ch = _PNG_CHANNELS[color_type]
         raw = zlib.decompress(b"".join(idat))
-        stride = w * ch
-        if len(raw) != h * (stride + 1):
-            return None
-        img = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
-            if ftype == 1:  # Sub
-                for x in range(ch, stride):
-                    line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
-            elif ftype == 2:  # Up
-                line = (line.astype(np.int32) + prev) % 256
-                line = line.astype(np.uint8)
-            elif ftype == 3:  # Average
-                for x in range(stride):
-                    a = int(line[x - ch]) if x >= ch else 0
-                    line[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                for x in range(stride):
-                    a = int(line[x - ch]) if x >= ch else 0
-                    b = int(prev[x])
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    line[x] = (int(line[x]) + pred) & 0xFF
-            elif ftype != 0:
+        if interlace == 0:
+            stride = w * ch
+            if len(raw) != h * (stride + 1):
                 return None
-            img[y] = line
-            prev = line
-        px = img.reshape(h, w, ch).astype(np.float32)
-        if color_type == 0:
-            gray = px[:, :, 0]
-        elif color_type == 4:
+            img, _ = _png_unfilter(raw, 0, h, stride, ch)
+            px = img.reshape(h, w, ch)
+        else:
+            # Adam7: seven independently-filtered reduced images, scanline
+            # streams concatenated in pass order; empty passes emit nothing
+            dims = [
+                ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                for (x0, y0, dx, dy) in _ADAM7
+            ]
+            expect = sum(ph * (pw * ch + 1) for pw, ph in dims if pw > 0 and ph > 0)
+            if len(raw) != expect:
+                return None
+            px = np.zeros((h, w, ch), dtype=np.uint8)
+            off = 0
+            for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
+                px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        if color_type == 3:  # palette indices -> RGB triples
+            if plte is None or len(plte) % 3 != 0:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            px = pal[idx]
+        px = px.astype(np.float32)
+        if color_type in (0, 4):
             gray = px[:, :, 0]  # luminance channel; alpha ignored
-        else:  # RGB / RGBA: ITU-R 601-2 luma
+        else:  # RGB / palette-RGB / RGBA: ITU-R 601-2 luma
             gray = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
         return w, h, gray / 255.0
     except Exception:

@@ -4,8 +4,10 @@ The test builds PNGs with its OWN minimal encoder (zlib + struct — no
 shared code with the decoder beyond the format spec), exercising every
 color type in the supported subset and every scanline filter, then
 asserts pixel-exact recovery. Error inputs (non-PNG, truncated,
-interlaced, 16-bit) must return None, and the Spark-side _stdlib_decode
-must yield real metadata for PNGs next to NULL rows for junk."""
+malformed-stream) must return None, and the Spark-side _stdlib_decode
+must yield real metadata for PNGs next to NULL rows for junk. (Valid
+Adam7-interlaced and palette streams are covered separately in
+tests/test_png_interlaced.py.)"""
 
 import struct
 import zlib
@@ -113,11 +115,11 @@ def test_unsupported_and_corrupt_inputs_return_none():
     assert png_decode_one(b"") is None
     assert png_decode_one(b"\x89PNGfake0") is None  # fixture fake magic
     assert png_decode_one(good[:30]) is None  # truncated
-    # interlaced flag set -> unsupported
+    # interlaced flag set on a sequential stream -> Adam7 layout mismatch
     bad = bytearray(good)
     bad[8 + 8 + 12] = 1  # IHDR interlace byte
     assert png_decode_one(bytes(bad)) is None
-    # palette color type -> unsupported
+    # palette color type without PLTE (and wrong stride) -> malformed
     bad2 = bytearray(good)
     bad2[8 + 8 + 9] = 3  # IHDR color_type byte
     assert png_decode_one(bytes(bad2)) is None
