@@ -32,6 +32,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "BENCH"))
 
 from bench import host_calibration, host_calibration_mc  # noqa: E402
+from run_pair_gated import IN_ARM_MED_FACTOR, ArmMonitor  # noqa: E402
 from run_scaling_cluster import run_cluster  # noqa: E402
 
 
@@ -52,10 +53,19 @@ def main() -> None:
             time.sleep(60)
             continue
         print(f"{stamp} gate OPEN (calib {calib} mc {mc}) — firing cluster pair", flush=True)
-        lo = run_cluster(1, n_urls, cores)
-        hi = run_cluster(4, n_urls, cores)
+        with ArmMonitor() as mon_lo:
+            lo = run_cluster(1, n_urls, cores)
+        lo["inrun"] = mon_lo.stats()
+        with ArmMonitor() as mon_hi:
+            hi = run_cluster(4, n_urls, cores)
+        hi["inrun"] = mon_hi.stats()
         calib2 = host_calibration()
         eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
+        inband = all(
+            arm["inrun"]["med"] is not None
+            and arm["inrun"]["med"] <= gate * IN_ARM_MED_FACTOR
+            for arm in (lo, hi)
+        )
         sample = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "n_urls": n_urls,
@@ -63,7 +73,8 @@ def main() -> None:
             "calib_before": calib,
             "calib_mc_before": mc,
             "calib_after": calib2,
-            "accepted": calib2 <= gate,
+            "accepted": calib2 <= gate and inband,
+            "inrun_inband": inband,
             "lo": lo,
             "hi": hi,
             "efficiency_1_to_4": round(eff, 3),

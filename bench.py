@@ -23,6 +23,27 @@ import sys
 import time
 
 
+def calib_probe_once() -> float:
+    """One iteration of the fixed CPU probe (see ``host_calibration``).
+    Exposed separately so the gated pair samplers can run a lightweight
+    concurrent monitor DURING a measurement arm (a co-tenant patch fully
+    contained inside one arm's execution is invisible to probes taken at
+    the arm boundaries — observed 2026-08-19 12:31 UTC, pair_samples)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    t0 = time.perf_counter()
+    m = a
+    for _ in range(8):
+        m = m @ a
+        m /= np.abs(m).max()
+    acc = 0
+    for i in range(200_000):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+    return time.perf_counter() - t0
+
+
 def host_calibration() -> float:
     """Fixed CPU probe (seconds, best-of-3): a 512x512 float64 BLAS
     matmul chain plus a pure-Python hash loop. Emitted as
@@ -30,22 +51,7 @@ def host_calibration() -> float:
     de-noised by the host's speed that day (this VM's co-tenancy windows
     spread same-binary numbers up to ~2.5x; BENCH/BASELINE.md round-4
     notes). Lower is faster; the number has no meaning on its own."""
-    import numpy as np
-
-    rng = np.random.default_rng(7)
-    a = rng.standard_normal((512, 512))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        m = a
-        for _ in range(8):
-            m = m @ a
-            m /= np.abs(m).max()
-        acc = 0
-        for i in range(200_000):
-            acc = (acc * 1103515245 + i) & 0x7FFFFFFF
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+    return round(min(calib_probe_once() for _ in range(3)), 4)
 
 
 def _mc_burn(n: int) -> int:
