@@ -514,6 +514,19 @@ def q_txt_repetition(spark, sf):
     return bi.join(tri, "doc_id").orderBy("doc_id")
 
 
+def q_txt_lm_score(spark, sf):
+    """Corpus-trained bigram LM fluency score (operators/corpus.py
+    bigram_lm_score — the CCNet/KenLM-style quality filter as one
+    train+score dataflow: two vocabulary-bounded hash-aggs build the
+    smoothed model, the bigram stream joins it, one per-doc avg). The
+    DuckDB oracle retrains the identical Laplace-smoothed model from
+    scratch in SQL and re-scores every doc."""
+    from mediacrawler_spark.operators.corpus import bigram_lm_score
+
+    d = _t(spark, sf, "documents")
+    return bigram_lm_score(d).orderBy("doc_id")
+
+
 def q_dedup_span_shared(spark, sf):
     """RefinedWeb-style duplicated-span fraction: of each doc's distinct
     8-word-grams, how many occur in some OTHER doc (exact sub-document
@@ -1137,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_repetition": q_txt_repetition,
+        "txt_lm_score": q_txt_lm_score,
         "txt_pii_scrub": q_txt_pii_scrub,
         "dedup_span_shared": q_dedup_span_shared,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -1439,6 +1453,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bc ON bc.doc_id = g.doc_id
             LEFT JOIN tc ON tc.doc_id = g.doc_id
             ORDER BY g.doc_id
+        """,
+        "txt_lm_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t
+            ), model AS (
+              SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg
+            ), ctx AS (
+              SELECT split_part(bg, ' ', 1) AS prev, count(*) AS c_ctx
+              FROM bg GROUP BY 1
+            ), vocab AS (
+              SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM t)
+            ), scored AS (
+              SELECT b.doc_id,
+                     avg(ln((m.c_bg + 1.0)
+                            / (c.c_ctx + CAST(vocab.v AS DOUBLE)))) AS avg_lp
+              FROM bg b
+              JOIN model m USING (bg)
+              JOIN ctx c ON split_part(b.bg, ' ', 1) = c.prev
+              CROSS JOIN vocab
+              GROUP BY b.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(round(s.avg_lp, 6), 0.0) AS lm_score
+            FROM t
+            LEFT JOIN scored s ON s.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         "dedup_span_shared": r"""
             WITH t AS (

@@ -184,6 +184,7 @@ def main() -> None:
             "pack_sequences",
             "media_frame_sample",
             "sim_quantized_topk",
+            "txt_lm_score",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -236,7 +237,7 @@ def main() -> None:
         # pack_sequences; others unchanged); 8 = r05 (adds
         # media_frame_sample; others unchanged); 9 = r05 (adds
         # sim_quantized_topk; others unchanged).
-        "query_rev": 9,
+        "query_rev": 10,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

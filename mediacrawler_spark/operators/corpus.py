@@ -228,6 +228,84 @@ def tfidf_top_terms(
     )
 
 
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    perplexity-style quality signal public pipelines (CCNet's KenLM
+    filter being the canonical one) run between crawl and training,
+    expressed as one train+score dataflow with no external model:
+
+        score(doc) = avg over the doc's word bigrams (prev, w) of
+                     ln( (c(prev, w) + 1) / (c(prev) + V) )
+
+    with corpus-wide Laplace-smoothed counts: c(prev, w) the bigram
+    count, c(prev) the bigram-context count (occurrences of ``prev``
+    followed by anything), V the corpus vocabulary size. Template/
+    boilerplate text scores high (its bigrams dominate the corpus);
+    shuffled or vocabulary-noise text scores low. Near-zero cross-doc
+    signal is exactly what the filter flags.
+
+    Plan shape at 100 TB: the exploded bigram stream is aggregated
+    twice (bigram-keyed and context-keyed, both with map-side partial
+    combine) into model tables bounded by vocabulary size — orders of
+    magnitude smaller than the corpus — then the stream joins the two
+    models on their keys (plain equi-joins; vocabulary tables shuffle,
+    never more than the distinct-bigram set) and one per-doc hash-agg
+    takes the average. V enters as a broadcast one-row literal (scalar
+    subquery shape), so the whole plan stays lazy. No all-pairs, no
+    Python, no driver loop.
+
+    Output: (id_col, n_bigrams bigint, lm_score double rounded 6dp)
+    for EVERY input doc; docs with fewer than 2 tokens get n_bigrams=0,
+    lm_score=0.0. Tokenization is :func:`functions.textual.tokens`
+    (lowercase, split on non-alphanumerics) — same as TF-IDF,
+    repetition, and decontamination, so the model and every other
+    corpus filter see one vocabulary.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    bg = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("bg")
+    )
+    model = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctx = (
+        bg.select(F.substring_index("bg", " ", 1).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("c_ctx"))
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(model, "bg")
+        .withColumn("prev", F.substring_index("bg", " ", 1))
+        .join(ctx, "prev")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c_bg") + F.lit(1.0))
+                / (F.col("c_ctx") + F.col("v").cast("double"))
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.avg("lp").alias("avg_lp"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens(F.col(text_col))) - 1, F.lit(0))
+        .cast("bigint")
+        .alias("n_bigrams"),
+    )
+    return totals.join(scored, id_col, "left").select(
+        id_col,
+        "n_bigrams",
+        F.coalesce(F.round(F.col("avg_lp"), 6), F.lit(0.0)).alias("lm_score"),
+    )
+
+
 # ----------------------------------------------------------- line dedup ----
 def line_dedup(
     docs: DataFrame,

@@ -290,3 +290,53 @@ def test_pack_sequences_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # window is partitioned by shard — no single-partition global window
     assert "SinglePartition" not in plan
+
+
+def test_bigram_lm_score_matches_reference(spark):
+    """bigram_lm_score vs an independent pure-Python retrain+rescore
+    (own tokenizer, collections.Counter model, math.log)."""
+    import math
+    import re
+    from collections import Counter
+
+    from mediacrawler_spark.operators.corpus import bigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+        (4, "zq xv wk jj qq zz"),  # vocabulary noise: every bigram unique
+        (5, "solo"),  # no bigrams
+        (6, ""),  # no tokens at all
+        (7, "The CAT... sat!! on -- the MAT"),  # normalizes to doc 1
+    ]
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in rows
+    }
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    c_bg = Counter(b for l in bgs.values() for b in l)
+    c_ctx = Counter(b[0] for l in bgs.values() for b in l)
+    vocab = len({t for ts in toks.values() for t in ts})
+    expect = {}
+    for i, l in bgs.items():
+        if not l:
+            expect[i] = (0, 0.0)
+        else:
+            avg = sum(
+                math.log((c_bg[b] + 1) / (c_ctx[b[0]] + vocab)) for b in l
+            ) / len(l)
+            expect[i] = (len(l), round(avg, 6))
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(docs).collect()
+    }
+    assert set(out) == set(expect)  # every doc reported, including empty
+    for i in expect:
+        assert out[i][0] == expect[i][0], i
+        assert out[i][1] == pytest.approx(expect[i][1], abs=2e-6), i
+    # the filter's point: fluent/template text outscores vocabulary noise
+    assert out[1][1] > out[4][1]
+    # punctuation/case variants score identically to their clean twin
+    assert out[7] == out[1]
