@@ -38,6 +38,14 @@ def parquet_rows(path: str) -> int:
     return ds.dataset(path, format="parquet").count_rows()
 
 
+class TimeTravelError(LookupError):
+    """A time-travel read (``read_at``) outside the retained window:
+    either the commit log has been rolled past the requested epoch, or a
+    pinned data dir was expired/pruned after the commit. Mirrors
+    Iceberg's behavior for VERSION AS OF on an expired snapshot — fail
+    loudly, never silently substitute a newer pin."""
+
+
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -400,6 +408,59 @@ class SnapshotCatalog:
         if not epochs:
             return None
         paths = [os.path.join(self.root, table, f"e={e}") for e in epochs]
+        return self.spark.read.parquet(*paths)
+
+    def commit_history(self) -> list[dict]:
+        """Every commit record still retained in the log, oldest first —
+        the Iceberg ``snapshots`` metadata-table analog. ``roll_log``
+        bounds how far back this (and :meth:`read_at`) can see, exactly
+        like snapshot expiry bounds Iceberg history."""
+        return self._read_commits()
+
+    def read_at(self, table: str, epoch: int) -> DataFrame | None:
+        """Time-travel read (Iceberg ``VERSION AS OF`` analog): the
+        committed contents of ``table`` as of the newest retained commit
+        with ``commit.epoch <= epoch``. Each commit line is the full pin
+        state, so reconstruction is a log lookup — no replay.
+
+        Retention-bounded exactly like Iceberg: ``roll_log`` trims old
+        records and ``expire_versions``/``prune_appends`` delete
+        no-longer-pinned dirs, so traveling outside the retained window
+        raises :class:`TimeTravelError` (never silently reads a newer
+        pin). Returns None when the table had no rows at that epoch."""
+        recs = self._read_commits()
+        eligible = [r for r in recs if int(r["epoch"]) <= epoch]
+        if not eligible:
+            earliest = min((int(r["epoch"]) for r in recs), default=None)
+            raise TimeTravelError(
+                f"no retained commit at epoch <= {epoch} "
+                f"(earliest retained: {earliest}; log rolled?)"
+            )
+        rec = eligible[-1]
+        ptables = rec.get("ptables", {})
+        versions = rec.get("tables", {})
+        appends = rec.get("appends", {})
+        if table in ptables:
+            ent = ptables[table]
+            if not ent["parts"]:
+                return None
+            paths = self._ptable_paths(
+                {"n": int(ent["n"]), "parts": ent["parts"]}, table
+            )
+        elif table in versions:
+            paths = [self._path(table, int(versions[table]))]
+        elif appends.get(table):
+            paths = [
+                os.path.join(self.root, table, f"e={e}") for e in appends[table]
+            ]
+        else:
+            return None
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise TimeTravelError(
+                f"time travel to epoch {epoch} unavailable for {table!r}: "
+                f"{len(missing)} pinned dir(s) expired (first: {missing[0]})"
+            )
         return self.spark.read.parquet(*paths)
 
     def has(self, table: str) -> bool:

@@ -1,0 +1,121 @@
+"""Time-travel reads on the snapshot catalog (sinks/snapshot.py
+read_at / commit_history — the Iceberg VERSION AS OF analog): each
+commit line is the full pin state, so any retained epoch reconstructs
+from a log lookup; retention (roll_log / expire_versions) bounds the
+window with a loud TimeTravelError, never a silently-newer pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.sinks.snapshot import SnapshotCatalog, TimeTravelError
+
+
+def _cat(spark, tmp_path, name="tt"):
+    return SnapshotCatalog(spark, str(tmp_path / name))
+
+
+def test_read_at_replace_and_append_epochs(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in (0, 2, 5):  # gaps: commits need not be consecutive
+        cat.stage(spark.createDataFrame([(ep, "state")], ["ep", "x"]), "state")
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    # exact epochs
+    assert cat.read_at("state", 0).collect()[0]["ep"] == 0
+    assert cat.read_at("state", 5).collect()[0]["ep"] == 5
+    # between commits: newest commit <= epoch wins
+    assert cat.read_at("state", 4).collect()[0]["ep"] == 2
+    # append tables accumulate
+    assert cat.read_at("log", 0).count() == 1
+    assert cat.read_at("log", 4).count() == 2
+    assert cat.read_at("log", 5).count() == 3
+    # as-of the committed head == current read
+    cur = {r["ep"] for r in cat.read("log").collect()}
+    at = {r["ep"] for r in cat.read_at("log", cat.committed_epoch()).collect()}
+    assert cur == at
+    # a table that never existed at that epoch
+    assert cat.read_at("nope", 5) is None
+    # before history
+    with pytest.raises(TimeTravelError):
+        cat.read_at("state", -1)
+
+
+def test_read_at_table_appears_mid_history(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.stage(spark.createDataFrame([(1,)], ["a"]), "early")
+    cat.commit(0)
+    cat.stage(spark.createDataFrame([(2,)], ["b"]), "late")
+    cat.commit(1)
+    assert cat.read_at("late", 0) is None  # didn't exist yet
+    assert cat.read_at("late", 1).count() == 1
+
+
+def test_read_at_ptable_partition_pins(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    base = spark.range(8).select(
+        F.col("id"), F.lit("v0").alias("tag"), F.pmod("id", F.lit(2)).alias("_part")
+    )
+    cat.stage_parts(base, "pt", 2, dirty=[0, 1])
+    cat.commit(0)
+    # epoch 1 rewrites ONLY partition 0; partition 1 keeps its old pin
+    newer = spark.range(8).filter(F.pmod("id", F.lit(2)) == 0).select(
+        F.col("id"), F.lit("v1").alias("tag"), F.pmod("id", F.lit(2)).alias("_part")
+    )
+    cat.stage_parts(newer, "pt", 2, dirty=[0])
+    cat.commit(1)
+    tags0 = {r["tag"] for r in cat.read_at("pt", 0).collect()}
+    tags1 = {r["tag"] for r in cat.read_at("pt", 1).collect()}
+    assert tags0 == {"v0"}
+    assert tags1 == {"v0", "v1"}  # mixed pins: clean part kept v0
+    assert cat.read_at("pt", 1).count() == 8
+
+
+def test_expired_version_raises_not_substitutes(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(4):
+        cat.stage(spark.createDataFrame([(ep,)], ["ep"]), "state")
+        cat.commit(ep)
+    removed = cat.expire_versions(keep_last=1)
+    assert removed > 0
+    assert cat.read_at("state", 3).collect()[0]["ep"] == 3  # head still fine
+    with pytest.raises(TimeTravelError, match="expired"):
+        cat.read_at("state", 0)
+
+
+def test_rolled_log_raises(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(6):
+        cat.stage(spark.createDataFrame([(ep,)], ["ep"]), "state")
+        cat.commit(ep)
+    assert cat.roll_log(keep=2, max_lines=4)
+    with pytest.raises(TimeTravelError, match="retained"):
+        cat.read_at("state", 1)
+    assert cat.read_at("state", 5).collect()[0]["ep"] == 5
+
+
+def test_commit_history_is_ordered_and_self_contained(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(3):
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    hist = cat.commit_history()
+    assert [int(r["epoch"]) for r in hist] == [0, 1, 2]
+    # every record carries the full pin state (self-contained checkpoint)
+    assert all("tables" in r and "appends" in r for r in hist)
+    assert [len(r["appends"]["log"]) for r in hist] == [1, 2, 3]
+
+
+def test_read_at_head_matches_read_on_real_crawl(full_crawl):
+    """Engine-surface check: as-of the committed head, time travel and
+    the normal read see identical tables (incl. compacted append labels
+    and the grown/pruned ptable layout of a real multi-epoch crawl)."""
+    cat = full_crawl["eng"].catalog
+    head = cat.committed_epoch()
+    for table in ("seen", "documents"):
+        if not cat.has(table):
+            continue
+        a = cat.read(table)
+        b = cat.read_at(table, head)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
