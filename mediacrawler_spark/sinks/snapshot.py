@@ -417,6 +417,52 @@ class SnapshotCatalog:
         like snapshot expiry bounds Iceberg history."""
         return self._read_commits()
 
+    def _record_at(self, epoch: int) -> dict:
+        """The newest retained commit record with ``epoch <= epoch``."""
+        recs = self._read_commits()
+        eligible = [r for r in recs if int(r["epoch"]) <= epoch]
+        if not eligible:
+            earliest = min((int(r["epoch"]) for r in recs), default=None)
+            raise TimeTravelError(
+                f"no retained commit at epoch <= {epoch} "
+                f"(earliest retained: {earliest}; log rolled?)"
+            )
+        return eligible[-1]
+
+    @staticmethod
+    def _rec_pins(rec: dict, table: str) -> tuple[str, object] | None:
+        """``(kind, pin)`` for ``table`` in a commit record, or None if
+        the table had no rows: ("ptable", parts-map) / ("version", int) /
+        ("append", label-list)."""
+        ent = rec.get("ptables", {}).get(table)
+        if ent is not None:
+            return ("ptable", {str(k): int(v) for k, v in ent["parts"].items()}) \
+                if ent["parts"] else None
+        if table in rec.get("tables", {}):
+            return ("version", int(rec["tables"][table]))
+        labs = rec.get("appends", {}).get(table)
+        if labs:
+            return ("append", [str(x) for x in labs])
+        return None
+
+    def _read_pinned(self, table: str, epoch: int, paths: list[str]) -> DataFrame:
+        """Read pinned dirs, failing loudly if any was expired/pruned."""
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise TimeTravelError(
+                f"time travel to epoch {epoch} unavailable for {table!r}: "
+                f"{len(missing)} pinned dir(s) expired (first: {missing[0]})"
+            )
+        return self.spark.read.parquet(*paths)
+
+    def _pin_paths(self, table: str, pins: tuple[str, object]) -> list[str]:
+        kind, pin = pins
+        if kind == "ptable":
+            return self._ptable_paths({"parts": pin}, table)
+        if kind == "version":
+            return [self._path(table, pin)]
+        return [os.path.join(self.root, table, f"e={e}") for e in pin]
+
     def read_at(self, table: str, epoch: int) -> DataFrame | None:
         """Time-travel read (Iceberg ``VERSION AS OF`` analog): the
         committed contents of ``table`` as of the newest retained commit
@@ -428,40 +474,138 @@ class SnapshotCatalog:
         no-longer-pinned dirs, so traveling outside the retained window
         raises :class:`TimeTravelError` (never silently reads a newer
         pin). Returns None when the table had no rows at that epoch."""
-        recs = self._read_commits()
-        eligible = [r for r in recs if int(r["epoch"]) <= epoch]
-        if not eligible:
-            earliest = min((int(r["epoch"]) for r in recs), default=None)
-            raise TimeTravelError(
-                f"no retained commit at epoch <= {epoch} "
-                f"(earliest retained: {earliest}; log rolled?)"
-            )
-        rec = eligible[-1]
-        ptables = rec.get("ptables", {})
-        versions = rec.get("tables", {})
-        appends = rec.get("appends", {})
-        if table in ptables:
-            ent = ptables[table]
-            if not ent["parts"]:
-                return None
-            paths = self._ptable_paths(
-                {"n": int(ent["n"]), "parts": ent["parts"]}, table
-            )
-        elif table in versions:
-            paths = [self._path(table, int(versions[table]))]
-        elif appends.get(table):
-            paths = [
-                os.path.join(self.root, table, f"e={e}") for e in appends[table]
-            ]
-        else:
+        pins = self._rec_pins(self._record_at(epoch), table)
+        if pins is None:
             return None
-        missing = [p for p in paths if not os.path.isdir(p)]
-        if missing:
+        return self._read_pinned(table, epoch, self._pin_paths(table, pins))
+
+    def read_appends_since(
+        self, table: str, after_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Incremental scan of an append-only table (the Iceberg
+        incremental-append-scan analog): rows committed AFTER
+        ``after_epoch`` up to and including ``to_epoch`` (default: the
+        committed head). Cost is O(delta) — only the new increment dirs
+        are listed and read, never the table's history — which is what a
+        downstream consumer (indexer, exporter, trainer ingesting new
+        documents per crawl epoch) runs every cycle at the 10^10-URL
+        design point.
+
+        ``after_epoch=-1`` means "since before any commit" and is exact
+        regardless of retention (the full state at ``to_epoch`` IS the
+        delta vs nothing). Otherwise both bounds must resolve to retained
+        commits. If a compaction crossed the window (the newer commit's
+        label set no longer contains the older's), the merged dirs mix
+        old and new rows, so an O(delta) answer no longer exists —
+        raises :class:`TimeTravelError`; use :meth:`changelog` (full
+        row-level diff) instead. Returns None when nothing was appended
+        in the window."""
+        if to_epoch is None:
+            to_epoch = self.committed_epoch()
+        rec_hi = self._record_at(to_epoch)
+        hi = self._rec_pins(rec_hi, table)
+        if hi is None:
+            return None
+        if hi[0] != "append":
             raise TimeTravelError(
-                f"time travel to epoch {epoch} unavailable for {table!r}: "
-                f"{len(missing)} pinned dir(s) expired (first: {missing[0]})"
+                f"{table!r} is a {hi[0]} (replace-style) table — "
+                "incremental append scan is undefined; use changelog()"
             )
-        return self.spark.read.parquet(*paths)
+        lo_labels: set[str] = set()
+        if after_epoch >= 0:
+            lo = self._rec_pins(self._record_at(after_epoch), table)
+            if lo is not None:
+                if lo[0] != "append":
+                    raise TimeTravelError(
+                        f"{table!r} was a {lo[0]} table at epoch {after_epoch}"
+                    )
+                lo_labels = set(lo[1])
+        new = [lab for lab in hi[1] if lab not in lo_labels]
+        if not lo_labels.issubset(hi[1]):
+            gone = sorted(lo_labels - set(hi[1]))
+            raise TimeTravelError(
+                f"appends of {table!r} were compacted between epochs "
+                f"{after_epoch} and {to_epoch} (labels {gone[:4]}... were "
+                "merged) — the increment dirs no longer isolate the new "
+                "rows; use changelog() for a row-level diff"
+            )
+        if not new:
+            return None
+        return self._read_pinned(
+            table,
+            to_epoch,
+            [os.path.join(self.root, table, f"e={e}") for e in new],
+        )
+
+    @staticmethod
+    def _changed_part_keys(lo_parts: dict, hi_parts: dict) -> list[str]:
+        """Partition keys whose pinned version differs between two ptable
+        pin maps. Leaf dirs are immutable, so an identical pin means an
+        identical partition — those are skipped without being scanned
+        (directory-level partition pruning of the diff)."""
+        keys = set(lo_parts) | set(hi_parts)
+        return sorted(
+            (k for k in keys if lo_parts.get(k) != hi_parts.get(k)), key=int
+        )
+
+    def changelog(self, table: str, from_epoch: int, to_epoch: int) -> DataFrame | None:
+        """Row-level change set between two committed epochs (the Iceberg
+        changelog-scan analog): one DataFrame with the table's columns
+        plus ``_change_type`` ('insert' rows present at ``to_epoch`` but
+        not ``from_epoch``; 'delete' the reverse), multiset semantics via
+        exceptAll. ``from_epoch=-1`` diffs against empty.
+
+        Scan cost is pruned by the pin maps before any data is read:
+        append tables whose old labels survived diff O(delta) increment
+        dirs only; ptables compare ONLY partitions whose pinned version
+        changed (identical pins are immutable dirs — skipped entirely,
+        so an epoch that touched 3 of 4096 frontier partitions diffs 3);
+        plain replace tables with an unchanged version pin return None
+        without reading. Returns None when nothing changed."""
+        lo = None if from_epoch < 0 else self._rec_pins(
+            self._record_at(from_epoch), table
+        )
+        hi = self._rec_pins(self._record_at(to_epoch), table)
+        if lo == hi:
+            return None  # identical pins == identical immutable dirs
+        # append fast path: old increments retained intact => inserts only
+        if (
+            hi is not None
+            and hi[0] == "append"
+            and (lo is None or (lo[0] == "append" and set(lo[1]) <= set(hi[1])))
+        ):
+            new = [lab for lab in hi[1] if lo is None or lab not in set(lo[1])]
+            if not new:
+                return None
+            df = self._read_pinned(
+                table,
+                to_epoch,
+                [os.path.join(self.root, table, f"e={e}") for e in new],
+            )
+            return df.withColumn("_change_type", F.lit("insert"))
+        # ptable partition pruning: diff only partitions whose pin moved
+        if lo is not None and hi is not None and lo[0] == hi[0] == "ptable":
+            changed = self._changed_part_keys(lo[1], hi[1])
+            lo_paths = self._pin_paths(
+                table, ("ptable", {k: lo[1][k] for k in changed if k in lo[1]})
+            )
+            hi_paths = self._pin_paths(
+                table, ("ptable", {k: hi[1][k] for k in changed if k in hi[1]})
+            )
+        else:
+            lo_paths = [] if lo is None else self._pin_paths(table, lo)
+            hi_paths = [] if hi is None else self._pin_paths(table, hi)
+        old_df = self._read_pinned(table, from_epoch, lo_paths) if lo_paths else None
+        new_df = self._read_pinned(table, to_epoch, hi_paths) if hi_paths else None
+        if old_df is None and new_df is None:
+            return None
+        if old_df is None:
+            return new_df.withColumn("_change_type", F.lit("insert"))
+        if new_df is None:
+            return old_df.withColumn("_change_type", F.lit("delete"))
+        ins = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
+        dels = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
 
     def has(self, table: str) -> bool:
         return (

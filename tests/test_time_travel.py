@@ -105,6 +105,102 @@ def test_commit_history_is_ordered_and_self_contained(spark, tmp_path):
     assert [len(r["appends"]["log"]) for r in hist] == [1, 2, 3]
 
 
+def test_read_appends_since_is_the_delta(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(4):
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    assert {r["ep"] for r in cat.read_appends_since("log", 1).collect()} == {2, 3}
+    assert {r["ep"] for r in cat.read_appends_since("log", -1).collect()} == {0, 1, 2, 3}
+    assert {r["ep"] for r in cat.read_appends_since("log", 0, to_epoch=2).collect()} == {1, 2}
+    assert cat.read_appends_since("log", 3) is None  # nothing after head
+    assert cat.read_appends_since("nope", 0) is None
+    # replace tables have no O(delta) increment
+    cat.stage(spark.createDataFrame([(1,)], ["a"]), "state")
+    cat.commit(4)
+    with pytest.raises(TimeTravelError, match="replace"):
+        cat.read_appends_since("state", 0)
+
+
+def test_read_appends_since_refuses_compaction_crossing(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(6):
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    assert cat.compact_appends("log", max_dirs=2)
+    # old increment dirs were merged: the O(delta) answer no longer exists
+    with pytest.raises(TimeTravelError, match="compacted"):
+        cat.read_appends_since("log", 1)
+    # but a window entirely after the compaction still works
+    cat.stage_append(spark.createDataFrame([(6,)], ["ep"]), "log", 6)
+    cat.commit(6)
+    assert {r["ep"] for r in cat.read_appends_since("log", 5).collect()} == {6}
+    # and the row-level changelog answers the compaction-crossed window
+    # (dirs not yet expired): inserts only, exactly epochs 2..5
+    ch = cat.changelog("log", 1, 5)
+    assert {(r["ep"], r["_change_type"]) for r in ch.collect()} == {
+        (e, "insert") for e in (2, 3, 4, 5)
+    }
+
+
+def test_changelog_replace_and_none_when_unchanged(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.stage(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"]), "state")
+    cat.commit(0)
+    cat.commit(1)  # empty commit: pins unchanged
+    cat.stage(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["id", "x"]), "state")
+    cat.commit(2)
+    assert cat.changelog("state", 0, 1) is None  # identical pins, no scan
+    got = {
+        (r["id"], r["x"], r["_change_type"])
+        for r in cat.changelog("state", 0, 2).collect()
+    }
+    assert got == {(2, "B", "insert"), (3, "c", "insert"), (2, "b", "delete")}
+    # from_epoch=-1 diffs against empty: everything is an insert
+    base = cat.changelog("state", -1, 0)
+    assert {r["_change_type"] for r in base.collect()} == {"insert"}
+    assert base.count() == 2
+
+
+def test_changelog_ptable_prunes_clean_partitions(spark, tmp_path):
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    cat = _cat(spark, tmp_path)
+    base = spark.range(8).select(
+        F.col("id"), F.lit("v0").alias("tag"), F.pmod("id", F.lit(4)).alias("_part")
+    )
+    cat.stage_parts(base, "pt", 4, dirty=[0, 1, 2, 3])
+    cat.commit(0)
+    newer = spark.range(8).filter(F.pmod("id", F.lit(4)) == 1).select(
+        F.col("id"), F.lit("v1").alias("tag"), F.pmod("id", F.lit(4)).alias("_part")
+    )
+    cat.stage_parts(newer, "pt", 4, dirty=[1])
+    cat.commit(1)
+    # pin-map pruning: only the rewritten partition is a diff candidate
+    hist = cat.commit_history()
+    lo_parts = hist[0]["ptables"]["pt"]["parts"]
+    hi_parts = hist[1]["ptables"]["pt"]["parts"]
+    assert SnapshotCatalog._changed_part_keys(lo_parts, hi_parts) == ["1"]
+    ch = cat.changelog("pt", 0, 1).collect()
+    got = {(r["id"], r["tag"], r["_change_type"]) for r in ch}
+    # ids 1 and 5 live in partition 1 (pmod 4); nothing else appears
+    assert got == {
+        (1, "v1", "insert"), (5, "v1", "insert"),
+        (1, "v0", "delete"), (5, "v0", "delete"),
+    }
+
+
+def test_changelog_table_appears_and_drains(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.stage(spark.createDataFrame([(0,)], ["a"]), "other")
+    cat.commit(0)
+    cat.stage(spark.createDataFrame([(7,)], ["a"]), "late")
+    cat.commit(1)
+    ins = cat.changelog("late", 0, 1)
+    assert [(r["a"], r["_change_type"]) for r in ins.collect()] == [(7, "insert")]
+    assert cat.changelog("absent", 0, 1) is None
+
+
 def test_read_at_head_matches_read_on_real_crawl(full_crawl):
     """Engine-surface check: as-of the committed head, time travel and
     the normal read see identical tables (incl. compacted append labels
@@ -119,3 +215,9 @@ def test_read_at_head_matches_read_on_real_crawl(full_crawl):
         assert a.count() == b.count()
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+        # changelog vs empty == the full table as inserts; head-to-head
+        # is a no-op answered from the pin maps without any scan
+        ch = cat.changelog(table, -1, head)
+        assert ch.count() == a.count()
+        assert ch.filter(ch._change_type != "insert").count() == 0
+        assert cat.changelog(table, head, head) is None
