@@ -79,6 +79,13 @@ class EngineConfig:
     # the jsonl exceeds this many records, rewrite it to the last 2
     # checkpoint records so startup/maintenance parses stay O(1) in epochs
     commit_log_max_lines: int = 64
+    # snapshot-expiry depth (Iceberg expire_snapshots analog): maintenance
+    # keeps version/ptable-leaf dirs pinned by this many recent commits.
+    # This is also the catalog.rollback_to reach knob — rollback refuses
+    # records whose pins expiry removed, so deepen this (and the prune /
+    # compaction thresholds) when operational rewind matters more than
+    # storage.
+    expire_keep_last: int = 2
     # frontier hash-partition count (pmod(url_hash, P) directory layout):
     # a commit rewrites only partitions the epoch touched, so bytes written
     # per epoch is O(delta/P share), not O(|frontier|). Size so one
@@ -703,7 +710,7 @@ class CrawlEngine:
                 for t in ("admitted", "fetched"):
                     self.catalog.prune_appends(t, min_epoch=epoch - 1)
                 self._maybe_grow_frontier()
-                self.catalog.expire_versions(keep_last=2)
+                self.catalog.expire_versions(keep_last=cfg.expire_keep_last)
                 self.catalog.roll_log(keep=2, max_lines=cfg.commit_log_max_lines)
 
             # re-read state: bounds DAG depth across epochs (quarantine

@@ -607,6 +607,93 @@ class SnapshotCatalog:
         dels = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dels)
 
+    def _record_pin_paths(self, rec: dict) -> list[str]:
+        """Every directory a commit record pins (all tables, all kinds)."""
+        paths: list[str] = []
+        names = (
+            set(rec.get("tables", {}))
+            | set(rec.get("appends", {}))
+            | set(rec.get("ptables", {}))
+        )
+        for table in sorted(names):
+            pins = self._rec_pins(rec, table)
+            if pins is not None:
+                paths.extend(self._pin_paths(table, pins))
+        return paths
+
+    def rollback_to(self, epoch: int) -> dict:
+        """Make the retained commit at exactly ``epoch`` the catalog head
+        again (the Iceberg ``rollback_to_snapshot`` analog): the crawl
+        operator's "the last N epochs fetched garbage through a broken
+        proxy — rewind and re-crawl" lever.
+
+        The log is truncated to end at that record (atomic write-temp +
+        rename, same protocol as :meth:`roll_log`) and the in-memory pin
+        cache reloads from it, so ``committed_epoch()`` drops to ``epoch``
+        and a fresh engine resumed on this catalog re-runs epoch
+        ``epoch+1`` onward; the epoch loop is deterministic, so the
+        re-crawl reconverges to the uninterrupted final state (pinned by
+        tests/test_time_travel.py). Data dirs of the rolled-away commits
+        stay on disk as unpinned orphans — re-run epochs overwrite their
+        own increments in place and :meth:`expire_versions` collects the
+        rest, exactly like orphaned Iceberg snapshots await expiry.
+
+        Refused (:class:`TimeTravelError`) when ``epoch`` is not a
+        retained commit (rolled away by :meth:`roll_log`) or when any dir
+        the target record pins has been expired/compacted — never
+        restores a head it cannot actually read, and never restores a
+        partial one. Rollback reach is therefore bounded by maintenance
+        retention, exactly like Iceberg cannot roll back past
+        ``expire_snapshots``: :meth:`expire_versions` /
+        :meth:`prune_appends` / :meth:`compact_appends` runs invalidate
+        records older than the window they kept (the engine exposes the
+        knob as ``EngineConfig.expire_keep_last``). Refused
+        (:class:`RuntimeError`) with pending staged state, same
+        atomicity stance as :meth:`compact_appends`. Returns the restored
+        commit record."""
+        if (
+            self._pending
+            or self._pending_appends
+            or self._pending_parts
+            or self._pending_drops
+        ):
+            raise RuntimeError("rollback_to with uncommitted staged state")
+        recs = self._read_commits()
+        idx = [i for i, r in enumerate(recs) if int(r["epoch"]) == epoch]
+        if not idx:
+            retained = sorted({int(r["epoch"]) for r in recs})
+            raise TimeTravelError(
+                f"no retained commit at epoch {epoch} "
+                f"(retained: {retained}; log rolled?)"
+            )
+        keep = recs[: idx[-1] + 1]
+        target = keep[-1]
+        missing = [p for p in self._record_pin_paths(target) if not os.path.isdir(p)]
+        if missing:
+            raise TimeTravelError(
+                f"rollback to epoch {epoch} unavailable: {len(missing)} "
+                f"pinned dir(s) expired/compacted (first: {missing[0]})"
+            )
+        tmp = self._log + ".tmp"
+        with open(tmp, "w") as f:
+            for r in keep:
+                f.write(json.dumps(r) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._log)
+        self._n_commits = len(keep)
+        self._epoch = int(target["epoch"])
+        self._versions = dict(target["tables"])
+        self._appends = {
+            k: [str(x) for x in v] for k, v in target.get("appends", {}).items()
+        }
+        self._ptables = {
+            k: {"n": int(v["n"]), "parts": dict(v["parts"])}
+            for k, v in target.get("ptables", {}).items()
+        }
+        self._meta = dict(target.get("meta", {}))
+        return target
+
     def has(self, table: str) -> bool:
         return (
             table in self._versions

@@ -201,6 +201,130 @@ def test_changelog_table_appears_and_drains(spark, tmp_path):
     assert cat.changelog("absent", 0, 1) is None
 
 
+def test_rollback_restores_pins_and_rewrites_history(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(4):
+        cat.stage(spark.createDataFrame([(ep,)], ["ep"]), "state")
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    assert cat.read("log").count() == 4
+    rec = cat.rollback_to(1)
+    assert int(rec["epoch"]) == 1
+    assert cat.committed_epoch() == 1
+    assert cat.read("state").collect()[0]["ep"] == 1
+    assert cat.read("log").count() == 2
+    assert [int(r["epoch"]) for r in cat.commit_history()] == [0, 1]
+    # history is rewritten: a new epoch 2 takes the rolled-away slot
+    cat.stage(spark.createDataFrame([(99,)], ["ep"]), "state")
+    cat.stage_append(spark.createDataFrame([(99,)], ["ep"]), "log", 2)
+    cat.commit(2)
+    assert cat.read_at("state", 2).collect()[0]["ep"] == 99
+    assert {r["ep"] for r in cat.read_at("log", 3).collect()} == {0, 1, 99}
+    # a reopened catalog sees the rolled-back head, not the old tail
+    reopened = SnapshotCatalog(spark, cat.root)
+    assert reopened.committed_epoch() == 2
+    assert reopened.read("log").count() == 3
+
+
+def test_rollback_refusals(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in (0, 2):
+        cat.stage(spark.createDataFrame([(ep,)], ["ep"]), "state")
+        cat.commit(ep)
+    with pytest.raises(TimeTravelError, match="retained"):
+        cat.rollback_to(1)  # never a committed epoch
+    cat.stage(spark.createDataFrame([(9,)], ["ep"]), "state")
+    with pytest.raises(RuntimeError, match="staged"):
+        cat.rollback_to(0)  # pending stage would be published half-done
+    cat.commit(3)
+    # expired pins: the target head must be fully readable or refused
+    removed = cat.expire_versions(keep_last=1)
+    assert removed > 0
+    with pytest.raises(TimeTravelError, match="expired"):
+        cat.rollback_to(0)
+    assert cat.committed_epoch() == 3  # refusal left the head untouched
+    assert [int(r["epoch"]) for r in cat.commit_history()] == [0, 2, 3]
+
+
+def test_rollback_orphans_collected_by_expiry(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for ep in range(3):
+        cat.stage_append(spark.createDataFrame([(ep,)], ["ep"]), "log", ep)
+        cat.commit(ep)
+    cat.rollback_to(0)
+    import os
+
+    orphans = [
+        e for e in os.listdir(str(tmp_path / "tt" / "log")) if e.startswith("e=")
+    ]
+    assert sorted(orphans) == ["e=0", "e=1", "e=2"]  # rolled-away dirs remain
+    assert cat.expire_versions() == 2  # ...until expiry collects them
+    assert cat.read("log").count() == 1
+    assert cat.fsck() == []
+
+
+def test_rollback_and_recrawl_reconverges(
+    spark, udfs, crawl_cfg, partial_crawl, full_crawl, snapshot_state,
+    tmp_path_factory,
+):
+    """Engine-surface check: roll a real crawl back an epoch and resume —
+    the deterministic epoch loop must reconverge to the exact
+    uninterrupted end state (seen set, span sequences, per-host fetch
+    order, frontier). Uses the pre-maintenance 2-epoch prefix (fully
+    retained, so rollback is in reach) and compares against the canonical
+    completed crawl; works on copies, never mutates shared catalogs."""
+    import shutil
+
+    from mediacrawler_spark.plans.epoch import CrawlEngine
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    root = str(tmp_path_factory.mktemp("snap_rollback") / "cat")
+    shutil.copytree(partial_crawl["root"], root)
+    expected = snapshot_state(full_crawl["eng"])
+
+    cat = SnapshotCatalog(spark, root)
+    assert cat.committed_epoch() == 1
+    seen_at_1 = cat.read("seen").count()
+    rec = cat.rollback_to(0)
+    assert int(rec["epoch"]) == 0
+    assert cat.committed_epoch() == 0
+    assert cat.read("seen").count() < seen_at_1
+    assert [int(r["epoch"]) for r in cat.commit_history()] == [0]
+
+    eng = CrawlEngine(
+        spark, SnapshotCatalog(spark, root),
+        udfs["pages"], udfs["robots"], udfs["politeness"], crawl_cfg,
+    )
+    eng.run(None)  # re-runs epoch 1 over its orphan dirs, then completes
+    assert snapshot_state(eng) == expected
+
+
+def test_rollback_reach_is_bounded_by_maintenance(
+    spark, full_crawl, tmp_path_factory
+):
+    """On a COMPLETED crawl whose maintenance (prune_appends /
+    expire_versions, every 8 epochs) has expired old pins, rollback to a
+    record with expired pins refuses loudly and leaves the head intact —
+    the Iceberg can't-roll-back-past-expire_snapshots bound. Restorable
+    epochs (committed after the last expiry) still restore."""
+    import shutil
+
+    from mediacrawler_spark.sinks.snapshot import SnapshotCatalog
+
+    root = str(tmp_path_factory.mktemp("snap_rollbound") / "cat")
+    shutil.copytree(full_crawl["eng"].catalog.root, root)
+    cat = SnapshotCatalog(spark, root)
+    head = cat.committed_epoch()
+    epochs = sorted({int(r["epoch"]) for r in cat.commit_history()})
+    if head < 7:  # maintenance fires at epoch % 8 == 7
+        pytest.skip("canonical crawl ended before the first maintenance pass")
+    # the oldest retained record predates the last maintenance: its
+    # admitted/fetched pins were pruned and its version pins expired
+    with pytest.raises(TimeTravelError, match="expired|compacted"):
+        cat.rollback_to(epochs[0])
+    assert cat.committed_epoch() == head  # refusal never half-restores
+
+
 def test_read_at_head_matches_read_on_real_crawl(full_crawl):
     """Engine-surface check: as-of the committed head, time travel and
     the normal read see identical tables (incl. compacted append labels
