@@ -159,11 +159,57 @@ class SnapshotCatalog:
     def stage_append(self, df: DataFrame, table: str, epoch: int) -> None:
         """Write one epoch's increment of an append-only table (seen,
         span_rows, fetch_log, lineage) — the Iceberg append-snapshot
-        analog; never rewrites history (but see compact_appends)."""
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.root, table, f"e={epoch}")
-        )
+        analog; never rewrites history (but see compact_appends).
+
+        The increment's schema is recorded beside the data as
+        ``_schema.json`` (underscore-prefixed: invisible to Spark and
+        pyarrow dataset discovery, like ``_SUCCESS``) — the Iceberg
+        schema-id analog that lets :meth:`_read_append_dirs` support
+        add/drop-column schema evolution across epochs without the
+        footer-scan cost of ``mergeSchema``."""
+        path = os.path.join(self.root, table, f"e={epoch}")
+        df.write.mode("overwrite").parquet(path)
+        self._write_dir_schema(path, df)
         self._pending_appends.setdefault(table, []).append(str(epoch))
+
+    @staticmethod
+    def _write_dir_schema(path: str, df: DataFrame) -> None:
+        with open(os.path.join(path, "_schema.json"), "w") as f:
+            json.dump(df.schema.jsonValue(), f, sort_keys=True)
+
+    def _read_append_dirs(self, paths: list[str]) -> DataFrame:
+        """Read data dirs with add/drop-column schema evolution (the
+        Iceberg schema-evolution read analog for append tables).
+
+        Each dir's ``_schema.json`` (written at stage time — a local
+        metadata read, never a parquet footer scan) is compared; when all
+        retained increments agree (the overwhelmingly common case, and
+        always true for single-dir reads, version dirs, and ptable
+        leaves, which carry no schema file) this is exactly a plain
+        multi-dir parquet read. When increments disagree — a column was
+        added or dropped mid-crawl — each dir is read under its own
+        schema and aligned by name (``unionByName`` with missing columns
+        as nulls), so old rows read NULL for later-added columns, like
+        Iceberg. Renames and type changes are NOT supported: a same-name
+        type conflict fails the union loudly rather than guessing.
+        Legacy dirs without a schema file keep the historical plain-read
+        behavior."""
+        schemas = set()
+        for p in paths:
+            try:
+                with open(os.path.join(p, "_schema.json")) as f:
+                    schemas.add(f.read())
+            except FileNotFoundError:
+                pass
+        if len(schemas) <= 1:
+            return self.spark.read.parquet(*paths)
+        out = None
+        for p in paths:
+            part = self.spark.read.parquet(p)
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
 
     # -- hash-partitioned replace tables (delta commits) ---------------------
     # A replace table that is large and sparsely mutated per epoch (the
@@ -408,7 +454,7 @@ class SnapshotCatalog:
         if not epochs:
             return None
         paths = [os.path.join(self.root, table, f"e={e}") for e in epochs]
-        return self.spark.read.parquet(*paths)
+        return self._read_append_dirs(paths)
 
     def commit_history(self) -> list[dict]:
         """Every commit record still retained in the log, oldest first —
@@ -453,7 +499,7 @@ class SnapshotCatalog:
                 f"time travel to epoch {epoch} unavailable for {table!r}: "
                 f"{len(missing)} pinned dir(s) expired (first: {missing[0]})"
             )
-        return self.spark.read.parquet(*paths)
+        return self._read_append_dirs(paths)
 
     def _pin_paths(self, table: str, pins: tuple[str, object]) -> list[str]:
         kind, pin = pins
@@ -603,6 +649,26 @@ class SnapshotCatalog:
             return new_df.withColumn("_change_type", F.lit("insert"))
         if new_df is None:
             return old_df.withColumn("_change_type", F.lit("delete"))
+        if old_df.schema != new_df.schema:
+            # schema evolved across the window: align both sides on the
+            # name-union with typed nulls (Iceberg changelog semantics —
+            # pre-evolution rows read NULL for added columns). Same-name
+            # type conflicts stay loud in the exceptAll below.
+            fields: dict[str, object] = {}
+            for sch in (old_df.schema, new_df.schema):
+                for fld in sch.fields:
+                    fields.setdefault(fld.name, fld.dataType)
+
+            def _align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        F.col(c) if c in df.columns
+                        else F.lit(None).cast(fields[c]).alias(c)
+                        for c in fields
+                    ]
+                )
+
+            old_df, new_df = _align(old_df), _align(new_df)
         ins = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
         dels = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dels)
@@ -784,10 +850,14 @@ class SnapshotCatalog:
         n = 0
         while (label := f"c{epoch}_{n}") in existing:
             n += 1
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, table, f"e={lab}") for lab in labels]
+        df = self._read_append_dirs(
+            [os.path.join(self.root, table, f"e={lab}") for lab in labels]
         )
-        df.write.mode("overwrite").parquet(os.path.join(self.root, table, f"e={label}"))
+        out = os.path.join(self.root, table, f"e={label}")
+        df.write.mode("overwrite").parquet(out)
+        # the merged dir carries the union schema of its inputs, so
+        # schema evolution survives compaction
+        self._write_dir_schema(out, df)
         return label
 
     def _append_dir_bytes(self, table: str, label: str) -> int:
