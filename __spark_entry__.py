@@ -1119,6 +1119,28 @@ def q_agg_percentiles(spark, sf):
     )
 
 
+def q_graph_pagerank(spark, sf):
+    """Integer fixed-point PageRank (operators/graph.py:pagerank) over the
+    clickstream page graph: pages are the props '$.k' ids, edges are
+    consecutive events of the same user ordered by (ts, event_id). All
+    arithmetic is exact BIGINT floor division, so rank_fp (units of
+    1e-12) is bit-identical on Spark and DuckDB regardless of float
+    summation order — the reproducible form a crawl-priority feed needs.
+    The oracle unrolls the same 5 synchronous iterations as chained CTEs."""
+    from mediacrawler_spark.operators.graph import pagerank
+
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nav = e.select("user_id", "ts", "event_id", page.alias("page")).withColumn(
+        "prev", F.lag("page").over(w)
+    )
+    edges = nav.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("page"))).select(
+        F.col("prev").alias("src"), F.col("page").alias("dst")
+    )
+    return pagerank(edges, n_iter=5).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_noise": q_p1_filter_noise,
@@ -1163,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
+        "graph_pagerank": q_graph_pagerank,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1212,6 +1235,52 @@ def _simhash_h3_oracle_sql() -> str:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.s, b.s)) <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer PageRank: the same 5 synchronous iterations as
+    operators/graph.py:pagerank, as chained CTEs (one per iteration).
+    DuckDB's `//` is exact integer floor division; SUM(BIGINT) widens to
+    HUGEINT so intermediates stay exact, and the final CAST restores
+    int64. Built programmatically so iteration count/scale stay in one
+    place."""
+    teleport = (scale * 15) // 100
+    iters = "".join(
+        f""", r{k + 1} AS (
+          SELECT nd.node,
+                 CAST({teleport} AS BIGINT)
+                 + (SELECT COALESCE(SUM((r.rank * 85) // 100), 0)
+                      FROM r{k} r LEFT JOIN deg d ON r.node = d.node
+                     WHERE d.node IS NULL) // (SELECT n FROM nn)
+                 + COALESCE(c.contrib, 0) AS rank
+          FROM nodes nd
+          LEFT JOIN (
+            SELECT e.v AS node, SUM(((r.rank * 85) // 100) // d.outdeg) AS contrib
+            FROM edges e JOIN r{k} r ON e.u = r.node JOIN deg d ON e.u = d.node
+            GROUP BY e.v) c ON nd.node = c.node
+        )"""
+        for k in range(n_iter)
+    )
+    return f"""
+        WITH nav AS (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS page,
+                 lag(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), edges AS (
+          SELECT DISTINCT prev AS u, page AS v FROM nav
+          WHERE prev IS NOT NULL AND page IS NOT NULL AND prev <> page
+        ), nodes AS (
+          SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
+        ), deg AS (
+          SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY u
+        ), nn AS (SELECT count(*) AS n FROM nodes
+        ), r0 AS (
+          SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+        ){iters}
+        SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{n_iter} ORDER BY node
     """
 
 
@@ -1734,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        "graph_pagerank": _pagerank_oracle_sql(),
         "asof_join": """
             WITH errors AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'

@@ -89,6 +89,104 @@ def connected_components(
     return members.union(centers).distinct()
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list:
+    (node, rank_fp) with rank_fp a BIGINT in units of ``1/scale``,
+    damping 0.85, ``n_iter`` synchronous iterations.
+
+    Why integer: float PageRank sums are addition-order-dependent, so
+    two engines (or two runs) disagree in the low bits — useless for a
+    hash-pinned oracle and for reproducible crawl-priority feeds. This
+    formulation does every step in exact BIGINT arithmetic (floor
+    division), so the result is bit-identical on Spark, DuckDB, and a
+    single-threaded reference regardless of partitioning:
+
+        damped(u)  = (rank(u) * 85) div 100
+        share(u)   = damped(u) div outdeg(u)           (outdeg > 0)
+        dangling   = sum(damped(u) : outdeg(u) = 0) div N
+        rank'(v)   = (scale*15) div 100 + dangling + sum share(u), u->v
+
+    Self-loops are dropped and edges deduplicated (same conventions as
+    :func:`connected_components`); nodes are everything appearing at
+    either end. Overflow bound: rank <= N*scale (mass only shrinks under
+    floor), so N*scale*85 must stay < 2^63 — holds to N ~= 10^8 at the
+    default scale; pass a smaller ``scale`` for larger graphs.
+
+    Scale shape: per iteration ONE hash-agg keyed by dst (partial
+    map-side combine) after an equi-join of edges with the rank table on
+    src — the Pregel step as plain DataFrame ops. The dangling pool is a
+    one-row aggregate cross-joined back (Spark broadcasts it); lineage is
+    truncated per iteration with an eager localCheckpoint, as in
+    connected_components. The reference crawler has no ranking stage
+    (/root/reference/store/* is insertion-ordered); this feeds the
+    priority-frontier story (W1) with a principled page score.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    if n_nodes * scale * 85 >= 2**63:
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes at scale {scale} would overflow BIGINT; "
+            "pass a smaller scale"
+        )
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg"))
+    teleport = (scale * 15) // 100
+    r = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        d = r.join(deg, "node", "left").select(
+            "node",
+            "outdeg",
+            F.expr("rank * 85 div 100").alias("damped"),
+        )
+        dang = d.filter(F.col("outdeg").isNull()).agg(
+            F.expr(f"coalesce(sum(damped), 0L) div {n_nodes}L").alias("dang_share")
+        )
+        contrib = (
+            e.join(
+                d.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("u"),
+                    F.expr("damped div outdeg").alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.col("dang_share")
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.col("rank").cast("long").alias("rank_fp"))
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Duplicate groups from verified near-dup pairs: (doc_id,
     cluster_id, cluster_size, is_canonical) for every doc in a group,
