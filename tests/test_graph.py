@@ -102,3 +102,79 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# pagerank — independent pure-Python reference (own adjacency/dict loop, no
+# DataFrames), planted structure, dangling mass, determinism, overflow guard
+# ---------------------------------------------------------------------------
+def _pagerank_ref(edges, n_iter=5, scale=10**12):
+    """Independent integer PageRank: plain dicts, same semantics as the
+    operator's docstring formulas (floor division throughout)."""
+    eset = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({u for u, _ in eset} | {v for _, v in eset})
+    out = {}
+    for u, v in eset:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    rank = {x: scale for x in nodes}
+    teleport = (scale * 15) // 100
+    for _ in range(n_iter):
+        damped = {x: (rank[x] * 85) // 100 for x in nodes}
+        dang = sum(damped[x] for x in nodes if x not in out) // n
+        nxt = {x: teleport + dang for x in nodes}
+        for u, vs in out.items():
+            share = damped[u] // len(vs)
+            for v in vs:
+                nxt[v] += share
+        rank = nxt
+    return rank
+
+
+def _pr(spark, edges, **kw):
+    from mediacrawler_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["rank_fp"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    # 4 joins into the hub 0; 0 -> 1 -> 2; 9 is dangling (in-edges only)
+    edges = [(3, 0), (4, 0), (5, 0), (6, 0), (0, 1), (1, 2), (2, 9), (5, 9)]
+    got = _pr(spark, edges)
+    want = _pagerank_ref(edges)
+    assert got == want
+    assert got[0] > got[3]  # the hub outranks its pointers
+    # total mass only shrinks under floor division
+    assert sum(got.values()) <= len(want) * 10**12
+
+
+def test_pagerank_self_loops_and_dups_dropped(spark):
+    edges = [(1, 2), (1, 2), (1, 1), (2, 3)]
+    assert _pr(spark, edges) == _pagerank_ref([(1, 2), (2, 3)])
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    edges = [((i * 7) % 23, (i * 13 + 1) % 23) for i in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    from mediacrawler_spark.operators.graph import pagerank
+
+    a = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    }
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+        ).collect()
+    }
+    assert a == b == _pagerank_ref(edges)
+
+
+def test_pagerank_overflow_guard(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(ValueError, match="overflow"):
+        from mediacrawler_spark.operators.graph import pagerank as pr
+
+        pr(df, scale=2**62)
