@@ -1141,6 +1141,20 @@ def q_graph_pagerank(spark, sf):
     return pagerank(edges, n_iter=5).orderBy("node")
 
 
+def q_search_bm25(spark, sf):
+    """BM25 keyword retrieval (operators/corpus.py:bm25_topk) for a fixed
+    3-term query: per-term tf/doc-length as array HOFs (scoring is a pure
+    map — no explode, no (doc, term) shuffle), corpus stats as ONE
+    broadcast single-row aggregate, fixed-order per-term score sum so the
+    float result is engine- and partitioning-independent, top-k via
+    TakeOrderedAndProject. The oracle mirrors the exact arithmetic
+    (same association order, same exact-int avgdl division) in DuckDB."""
+    from mediacrawler_spark.operators.corpus import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, terms=["spark", "vector", "window"], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_noise": q_p1_filter_noise,
@@ -1186,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
         "graph_pagerank": q_graph_pagerank,
+        "search_bm25": q_search_bm25,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1804,6 +1819,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "search_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                         string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x <> '') AS ts
+              FROM documents
+            ), per AS (
+              SELECT doc_id, len(ts) AS dl,
+                     len(list_filter(ts, x -> x = 'spark'))  AS tf0,
+                     len(list_filter(ts, x -> x = 'vector')) AS tf1,
+                     len(list_filter(ts, x -> x = 'window')) AS tf2
+              FROM toks
+            ), stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM per
+            )
+            SELECT doc_id,
+                   round(0.0
+                     + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     6) AS score,
+                   CAST(dl AS BIGINT) AS dl
+            FROM per, stats
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         "asof_join": """
             WITH errors AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'

@@ -421,3 +421,86 @@ def pack_sequences(
             F.greatest(F.col("cum") - 1, start) / F.lit(budget)
         ).cast("bigint").alias("end_pack"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a fixed keyword query under BM25
+    (Robertson/Sparck Jones probabilistic ranking; the `+1` idf variant
+    Lucene uses, so idf stays positive at any df).
+
+    Shuffle-minimal by construction — the shape a 100 TB corpus needs:
+
+    - per-term tf and doc length are array HOFs over the shared token
+      array (``aggregate``/``filter``), so SCORING IS A MAP: no explode,
+      no (doc, term) shuffle at all.
+    - corpus statistics (N, total dl, per-term df) are ONE single-row
+      aggregate, broadcast back via crossJoin — the only exchange
+      besides the final top-k, which is a TakeOrderedAndProject
+      tree-reduce, never a global sort.
+    - the score is a FIXED-ORDER sum of per-term closed forms (terms
+      are query literals), so the float result is identical across
+      engines and partitionings — no variable-order aggregation.
+
+    avgdl is exact-int sum(dl)/count(*) in one IEEE division (never a
+    streaming mean, which accumulates differently per engine). Output:
+    (doc_id, score rounded 6dp, dl) ordered by (score desc, doc_id).
+    Ordering uses the ROUNDED score so the k-boundary cannot flip on a
+    last-bit ln() difference between engines.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("bm25_topk: terms must be a non-empty list of unique terms")
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_ts"))
+
+    # single-param closure factory: a (t, term=...) default-arg lambda would
+    # be seen by F.filter as the two-arg (element, index) form, binding the
+    # query term to the array index
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    per = toks.select(
+        id_col,
+        F.size("_ts").alias("dl"),
+        *[
+            F.size(F.filter("_ts", _eq(term))).alias(f"_tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count("*").alias("_n"),
+        (F.sum("dl") / F.count("*")).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"_tf{i}")
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+        )
+    return (
+        scored.select(
+            id_col,
+            F.round(score, 6).alias("score"),
+            F.col("dl").cast("bigint").alias("dl"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -340,3 +340,79 @@ def test_bigram_lm_score_matches_reference(spark):
     assert out[1][1] > out[4][1]
     # punctuation/case variants score identically to their clean twin
     assert out[7] == out[1]
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — independent pure-Python BM25 (own tokenizer via re, own math)
+# ---------------------------------------------------------------------------
+def _bm25_ref(texts, terms, k1=1.2, b=0.75):
+    import math
+    import re
+
+    toks = {i: [t for t in re.split(r"[^\w]+", s.lower()) if t] for i, s in texts}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = ts.count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_independent_reference(spark):
+    from mediacrawler_spark.operators.corpus import bm25_topk
+
+    texts = [
+        (1, "spark joins the window and the window wins"),
+        (2, "vector vector vector spark"),
+        (3, "nothing relevant here at all plain words only"),
+        (4, "window"),
+        (5, "spark spark spark spark spark spark spark spark"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["spark", "vector", "window"], k=5).collect()}
+    want = _bm25_ref(texts, ["spark", "vector", "window"])
+    assert got == want
+    # rare term dominates: doc 2's triple 'vector' (df=1) outranks doc 5's
+    # spark spam (df=3), and the irrelevant doc scores 0
+    assert got[2] > got[5] and want[3] == 0.0
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    from mediacrawler_spark.operators.corpus import bm25_topk
+
+    # identical docs tie exactly: the k-cut must keep the lowest doc_ids
+    df = spark.createDataFrame(
+        [(i, "same text spark here") for i in range(8)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, ["spark"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert len({r["score"] for r in rows}) == 1
+
+
+def test_bm25_scoring_is_a_map(spark):
+    """No explode / per-(doc,term) shuffle: the only aggregation is the
+    one-row stats agg and the final top-k is TakeOrderedAndProject."""
+    from mediacrawler_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame([(1, "spark window")], ["doc_id", "text"])
+    plan = bm25_topk(df, ["spark", "window"], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_bm25_rejects_bad_terms(spark):
+    import pytest as _pytest
+
+    from mediacrawler_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ["a", "a"])
