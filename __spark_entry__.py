@@ -1155,6 +1155,36 @@ def q_search_bm25(spark, sf):
     return bm25_topk(d, terms=["spark", "vector", "window"], k=10)
 
 
+def q_approx_distinct_hll(spark, sf):
+    """Engine-deterministic HyperLogLog (operators/sketches.py): distinct
+    users (linear-counting regime) and distinct event ids (HLL regime)
+    per event_type, next to their exact counts. Registers come from md5
+    string ops and the register sum is exact integer arithmetic, so the
+    ESTIMATES themselves hash-match DuckDB — not just the exact columns.
+    Scale point: this is how distinct-URLs-per-host is affordable at
+    10^10 URLs (two partial-combine hash-aggs, |groups|*256 rows
+    shuffled) where exact count-distinct shuffles every pair."""
+    from mediacrawler_spark.operators.sketches import approx_distinct_hll
+
+    e = _t(spark, sf, "events")
+    users = approx_distinct_hll(e, ["event_type"], "user_id").select(
+        "event_type", F.round("est_distinct", 6).alias("est_users")
+    )
+    evs = approx_distinct_hll(e, ["event_type"], "event_id").select(
+        "event_type", F.round("est_distinct", 6).alias("est_events")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("event_id").cast("bigint").alias("n_events"),
+    )
+    return (
+        exact.join(users, "event_type")
+        .join(evs, "event_type")
+        .select("event_type", "est_users", "n_users", "est_events", "n_events")
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_noise": q_p1_filter_noise,
@@ -1201,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "graph_pagerank": q_graph_pagerank,
         "search_bm25": q_search_bm25,
+        "approx_distinct_hll": q_approx_distinct_hll,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1296,6 +1327,71 @@ def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 10**12) -> str:
           SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
         ){iters}
         SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{n_iter} ORDER BY node
+    """
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of operators/sketches.py: md5 string-ops registers
+    (strpos hex-digit arithmetic instead of conv), exact integer register
+    sum via `<<`, identical fixed-form float estimate. Generated per key
+    so both pipelines (user_id, event_id) share one template."""
+
+    def pipe(key: str, tag: str) -> str:
+        return f"""
+        h_{tag} AS (
+          SELECT event_type, md5(CAST({key} AS VARCHAR)) AS h FROM events
+        ), r_{tag} AS (
+          SELECT event_type,
+                 (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+                 least(
+                   length(regexp_extract(substr(h, 3, 13), '^(0*)', 1)) * 4
+                   + CASE WHEN strpos('0123456789abcdef', fd) - 1 >= 8 THEN 0
+                          WHEN strpos('0123456789abcdef', fd) - 1 >= 4 THEN 1
+                          WHEN strpos('0123456789abcdef', fd) - 1 >= 2 THEN 2
+                          ELSE 3 END
+                   + 1, 30) AS rho
+          FROM (SELECT event_type, h,
+                       substr(regexp_replace(substr(h, 3, 13), '^0*', '') || 'x',
+                              1, 1) AS fd
+                FROM h_{tag})
+        ), regs_{tag} AS (
+          SELECT event_type, bucket, max(rho) AS reg
+          FROM r_{tag} GROUP BY event_type, bucket
+        ), est_{tag} AS (
+          SELECT event_type,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           / ((256 - count(*))
+                              + CAST(sum(1::BIGINT << (31 - reg)) AS DOUBLE)
+                                / 2147483648.0) <= 640.0
+                           AND (256 - count(*)) > 0
+                      THEN 256.0 * ln(256.0 / (256 - count(*)))
+                      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           / ((256 - count(*))
+                              + CAST(sum(1::BIGINT << (31 - reg)) AS DOUBLE)
+                                / 2147483648.0)
+                 END AS est
+          FROM regs_{tag} GROUP BY event_type
+        )"""
+
+    return f"""
+        WITH {pipe("user_id", "u").lstrip()},
+        {pipe("event_id", "e").strip().lstrip()},
+        exact AS (
+          SELECT event_type,
+                 count(DISTINCT user_id) AS n_users,
+                 count(DISTINCT event_id) AS n_events
+          FROM events GROUP BY event_type
+        )
+        SELECT exact.event_type,
+               round(est_u.est, 6) AS est_users,
+               CAST(n_users AS BIGINT) AS n_users,
+               round(est_e.est, 6) AS est_events,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM exact
+        JOIN est_u ON exact.event_type = est_u.event_type
+        JOIN est_e ON exact.event_type = est_e.event_type
+        ORDER BY exact.event_type
     """
 
 
@@ -1819,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "approx_distinct_hll": _hll_oracle_sql(),
         "search_bm25": r"""
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -1,0 +1,77 @@
+"""approx_distinct_hll (operators/sketches.py) vs an INDEPENDENT
+pure-Python HyperLogLog: own hashlib md5, own bit-level leading-zero
+count (int.bit_length, not string ops), own float estimate — agreeing
+byte-for-byte with the DataFrame implementation is therefore a real
+format check, not self-agreement."""
+
+import hashlib
+import math
+
+import pytest
+
+from mediacrawler_spark.operators.sketches import M, RHO_CAP, approx_distinct_hll
+
+
+def _hll_ref(keys):
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        field = int(h[2:15], 16)  # 13 hex chars = 52 bits
+        lz = 52 - field.bit_length()  # leading zero bits of the field
+        rho = min(lz + 1, RHO_CAP)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    zeros = M - len(regs)
+    s = zeros + sum(2.0 ** -r for r in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    raw = alpha * M * M / s
+    if raw <= 2.5 * M and zeros > 0:
+        return M * math.log(M / zeros)
+    return raw
+
+
+def _est(spark, keys, **kw):
+    df = spark.createDataFrame([(1, k) for k in keys], ["g", "k"])
+    return approx_distinct_hll(df, ["g"], "k", **kw).collect()[0]["est_distinct"]
+
+
+def test_registers_match_reference_linear_counting(spark):
+    keys = [f"url-{i}" for i in range(120)]
+    assert _est(spark, keys) == pytest.approx(_hll_ref(keys), abs=1e-9)
+
+
+def test_registers_match_reference_hll_regime(spark):
+    keys = [f"page/{i * 37}" for i in range(5000)]
+    got, want = _est(spark, keys), _hll_ref(keys)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert abs(got - 5000) / 5000 < 0.2  # within ~3 sigma of 1.04/sqrt(256)
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    keys = [f"k{i}" for i in range(300)]
+    assert _est(spark, keys * 5) == _est(spark, keys)
+
+
+def test_deterministic_under_repartition(spark):
+    keys = [f"doc:{i}" for i in range(2000)]
+    df = spark.createDataFrame([(i % 3, k) for i, k in enumerate(keys)], ["g", "k"])
+    a = {r["g"]: r["est_distinct"] for r in approx_distinct_hll(df, ["g"], "k").collect()}
+    b = {
+        r["g"]: r["est_distinct"]
+        for r in approx_distinct_hll(df.repartition(13), ["g"], "k").collect()
+    }
+    assert a == b
+
+
+def test_register_shuffle_is_bounded(spark):
+    """The only data-proportional exchange is the (group, bucket) hash-agg
+    with map-side partial combine; no explode, no row-at-a-time Python."""
+    df = spark.createDataFrame([(1, "a"), (1, "b")], ["g", "k"])
+    plan = (
+        approx_distinct_hll(df, ["g"], "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # (g,bucket) agg + (g) agg
