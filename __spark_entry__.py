@@ -1185,6 +1185,37 @@ def q_approx_distinct_hll(spark, sf):
     )
 
 
+_CMS_QUERY_TERMS = ["customer", "join", "spark", "vector", "window", "zebra"]
+
+
+def q_cms_term_counts(spark, sf):
+    """Count-min sketch term frequencies (operators/sketches.py): the
+    4x1024-cell sketch is built with one partial-combine hash-agg over
+    the token stream, then a fixed probe set (hot terms + one absent)
+    reads estimates via a broadcast join — exact integers end to end, so
+    the DuckDB mirror (same md5 salt scheme) hash-matches the estimates.
+    CMS only ever OVERcounts; the oracle exposes est beside n_exact."""
+    from mediacrawler_spark.functions.textual import tokens
+    from mediacrawler_spark.operators.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cms = cms_build(tok, "term")
+    qterms = spark.createDataFrame([(t,) for t in _CMS_QUERY_TERMS], ["term"])
+    est = cms_estimate(cms, qterms, "term")
+    exact = tok.groupBy("term").agg(F.count("*").alias("n_exact"))
+    return (
+        qterms.join(est, "term")
+        .join(exact, "term", "left")
+        .select(
+            "term",
+            F.col("est").cast("bigint").alias("est"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("bigint").alias("n_exact"),
+        )
+        .orderBy("term")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_noise": q_p1_filter_noise,
@@ -1232,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "search_bm25": q_search_bm25,
         "approx_distinct_hll": q_approx_distinct_hll,
+        "cms_term_counts": q_cms_term_counts,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1327,6 +1359,58 @@ def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 10**12) -> str:
           SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
         ){iters}
         SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{n_iter} ORDER BY node
+    """
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB mirror of the count-min pipeline: identical md5 salt
+    scheme, 4-hex-digit bucket decoded with strpos arithmetic, same
+    4x1024 geometry. Generated so the probe-term list and row count
+    stay in one place."""
+
+    def hexval(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+
+    def cells(src: str, col: str) -> str:
+        parts = []
+        for j in range(4):
+            hx = "substr(md5('cms{j}:' || {c}), 1, 4)".format(j=j, c=col)
+            parts.append(
+                f"SELECT {col} AS term, {j} AS j, "
+                f"({hexval(hx)}) % 1024 AS bucket FROM {src}"
+            )
+        return " UNION ALL ".join(parts)
+
+    terms_values = ", ".join(f"('{t}')" for t in _CMS_QUERY_TERMS)
+    return rf"""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x <> '')) AS term
+          FROM documents
+        ), cells AS (
+          {cells("tok", "term")}
+        ), cms AS (
+          SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket
+        ), q(term) AS (
+          VALUES {terms_values}
+        ), probes AS (
+          {cells("q", "term")}
+        ), est AS (
+          SELECT p.term, min(COALESCE(cms.cnt, 0)) AS est
+          FROM probes p LEFT JOIN cms ON p.j = cms.j AND p.bucket = cms.bucket
+          GROUP BY p.term
+        ), exact AS (
+          SELECT term, count(*) AS n_exact FROM tok GROUP BY term
+        )
+        SELECT q.term, CAST(est.est AS BIGINT) AS est,
+               CAST(COALESCE(exact.n_exact, 0) AS BIGINT) AS n_exact
+        FROM q JOIN est ON q.term = est.term
+        LEFT JOIN exact ON q.term = exact.term
+        ORDER BY q.term
     """
 
 
@@ -1916,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "approx_distinct_hll": _hll_oracle_sql(),
+        "cms_term_counts": _cms_oracle_sql(),
         "search_bm25": r"""
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -1,4 +1,5 @@
-"""Deterministic distinct-count sketching (HyperLogLog).
+"""Deterministic sketching: HyperLogLog distinct counts and count-min
+frequency estimates.
 
 Counting distinct keys per group exactly needs a shuffle of every
 (group, key) pair — at crawl scale (distinct URLs per host over 10^10
@@ -94,3 +95,75 @@ def approx_distinct_hll(
         F.lit(float(M)) * F.log(F.lit(float(M)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#: depth (independent hash rows) and width (buckets per row)
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(col, j: int):
+    """Row-j bucket: 4 hex chars of md5(salt_j || key) -> int % CMS_W.
+    String-ops hex decode (same determinism rationale as the HLL
+    registers): never engine-private hashing."""
+    h = F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), col.cast("string"))), 1, 4)
+    v = F.conv(h, 16, 10).cast("int")
+    return F.pmod(v, F.lit(CMS_W))
+
+
+def cms_build(items: DataFrame, key_col: str) -> DataFrame:
+    """(j, bucket, cnt): the d x w count-min table over a key stream
+    (duplicates counted — this sketches FREQUENCIES, unlike HLL).
+
+    Scale shape: the input is mapped to CMS_D (j, bucket) cells per row
+    (a Generate of a 4-element literal array — no data-dependent blowup)
+    and reduced by ONE hash-agg with map-side partial combine; the
+    result is <= d*w = 4096 rows total regardless of input size, so
+    estimation joins against it are always broadcast."""
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(key_col), j).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, queries: DataFrame, key_col: str) -> DataFrame:
+    """(key, est): count-min frequency estimate (min over the d rows)
+    for each query key. Overestimates only — est >= true count always,
+    with the standard (e/w, 1-e^-d) error bound. The 4096-cell sketch is
+    broadcast; the query side never shuffles."""
+    probes = queries.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(key_col), j).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.j", "c.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

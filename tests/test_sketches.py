@@ -75,3 +75,75 @@ def test_register_shuffle_is_bounded(spark):
     )
     assert "Generate" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # (g,bucket) agg + (g) agg
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — independent reference: own md5, own int() hex decode
+# (not strpos arithmetic), own min-over-rows; agreement is a format check.
+# ---------------------------------------------------------------------------
+
+from mediacrawler_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_build,
+    cms_estimate,
+)
+
+
+def _cms_ref(stream, queries):
+    table = [[0] * CMS_W for _ in range(CMS_D)]
+    for k in stream:
+        for j in range(CMS_D):
+            h = hashlib.md5(f"cms{j}:{k}".encode()).hexdigest()
+            table[j][int(h[:4], 16) % CMS_W] += 1
+    out = {}
+    for q in queries:
+        est = None
+        for j in range(CMS_D):
+            h = hashlib.md5(f"cms{j}:{q}".encode()).hexdigest()
+            c = table[j][int(h[:4], 16) % CMS_W]
+            est = c if est is None else min(est, c)
+        out[q] = est
+    return out
+
+
+def _cms_est(spark, stream, queries):
+    items = spark.createDataFrame([(k,) for k in stream], ["k"])
+    qdf = spark.createDataFrame([(q,) for q in queries], ["k"])
+    cms = cms_build(items, "k")
+    return {r["k"]: r["est"] for r in cms_estimate(cms, qdf, "k").collect()}
+
+
+def test_cms_matches_reference_exactly(spark):
+    stream = [f"t{i % 97}" for i in range(3000)] + ["hot"] * 500
+    queries = ["t0", "t13", "t96", "hot", "absent"]
+    assert _cms_est(spark, stream, queries) == _cms_ref(stream, queries)
+
+
+def test_cms_overcounts_only_and_absent_keys(spark):
+    import collections
+
+    stream = [f"term-{i % 41}" for i in range(2050)]
+    true = collections.Counter(stream)
+    queries = sorted(true) + ["never-seen"]
+    est = _cms_est(spark, stream, queries)
+    for q in queries:
+        assert est[q] >= true.get(q, 0)  # CMS never undercounts
+    # 41 distinct keys in 1024 buckets: collisions vanishingly unlikely
+    assert est == {q: true.get(q, 0) for q in queries}
+
+
+def test_cms_sketch_is_bounded_and_broadcast(spark):
+    stream = [f"k{i}" for i in range(500)]
+    items = spark.createDataFrame([(k,) for k in stream], ["k"])
+    cms = cms_build(items, "k")
+    assert cms.count() <= CMS_D * CMS_W
+    qdf = spark.createDataFrame([("k1",), ("k2",)], ["k"])
+    plan = (
+        cms_estimate(cms, qdf, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
