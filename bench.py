@@ -185,6 +185,10 @@ def main() -> None:
             "media_frame_sample",
             "sim_quantized_topk",
             "txt_lm_score",
+            "graph_pagerank",
+            "search_bm25",
+            "approx_distinct_hll",
+            "cms_term_counts",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -236,8 +240,11 @@ def main() -> None:
         # tfidf_topterms/agg_percentiles/dedup_ngram_jaccard/txt_line_dedup/
         # pack_sequences; others unchanged); 8 = r05 (adds
         # media_frame_sample; others unchanged); 9 = r05 (adds
-        # sim_quantized_topk; others unchanged).
-        "query_rev": 10,
+        # sim_quantized_topk; others unchanged); 10 = r05 (adds
+        # txt_lm_score; others unchanged); 11 = r05 (adds graph_pagerank/
+        # search_bm25/approx_distinct_hll/cms_term_counts; others
+        # unchanged).
+        "query_rev": 11,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
