@@ -1119,6 +1119,26 @@ def q_agg_percentiles(spark, sf):
     )
 
 
+def q_agg_quantile_sampled(spark, sf):
+    """Sampled per-lang quantiles (operators/sketches.py:
+    sampled_quantiles): a deterministic md5-Bernoulli 1/16 sample is
+    taken by a pure column filter AT THE SCAN (the corpus never
+    shuffles — only the sample reaches the lang agg), then exact
+    type-7 percentiles of the sample. md5 + linear interpolation are
+    bit-stable on both engines, so estimates hash-match to 6dp."""
+    from mediacrawler_spark.operators.sketches import sampled_quantiles
+
+    d = _t(spark, sf, "documents")
+    return sampled_quantiles(
+        d,
+        ["lang"],
+        "n_chars",
+        "doc_id",
+        {"p50_est": 0.5, "p90_est": 0.9},
+        prefix_len=1,
+    ).orderBy("lang")
+
+
 def q_graph_pagerank(spark, sf):
     """Integer fixed-point PageRank (operators/graph.py:pagerank) over the
     clickstream page graph: pages are the props '$.k' ids, edges are
@@ -1260,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
+        "agg_quantile_sampled": q_agg_quantile_sampled,
         "graph_pagerank": q_graph_pagerank,
         "search_bm25": q_search_bm25,
         "approx_distinct_hll": q_approx_distinct_hll,
@@ -2001,6 +2022,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(),
         "approx_distinct_hll": _hll_oracle_sql(),
         "cms_term_counts": _cms_oracle_sql(),
+        "agg_quantile_sampled": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_est,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_est,
+                   CAST(count(*) AS BIGINT) AS n_sampled
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            GROUP BY lang ORDER BY lang
+        """,
         "search_bm25": r"""
             WITH toks AS (
               SELECT doc_id, list_filter(

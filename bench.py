@@ -189,6 +189,7 @@ def main() -> None:
             "search_bm25",
             "approx_distinct_hll",
             "cms_term_counts",
+            "agg_quantile_sampled",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -243,8 +244,9 @@ def main() -> None:
         # sim_quantized_topk; others unchanged); 10 = r05 (adds
         # txt_lm_score; others unchanged); 11 = r05 (adds graph_pagerank/
         # search_bm25/approx_distinct_hll/cms_term_counts; others
+        # unchanged); 12 = r05 (adds agg_quantile_sampled; others
         # unchanged).
-        "query_rev": 11,
+        "query_rev": 12,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

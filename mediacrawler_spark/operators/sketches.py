@@ -167,3 +167,48 @@ def cms_estimate(cms: DataFrame, queries: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sampled quantiles (deterministic md5-Bernoulli sample + exact interpolation)
+# ---------------------------------------------------------------------------
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    probs: dict[str, float],
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Per-group quantile estimates over a deterministic Bernoulli
+    sample: keep rows whose md5(key) starts with ``prefix_len`` zero hex
+    digits (rate 16^-prefix_len), then take EXACT linearly-interpolated
+    percentiles of the sample. ``probs`` maps output column name ->
+    probability; ``n_sampled`` is appended.
+
+    Scale shape: the sample predicate is a pure column filter evaluated
+    AT THE SCAN — the corpus never shuffles; only the fixed-rate sample
+    (16^-p of the rows, 3 narrow columns) reaches the one group-by
+    exchange. Exact per-group quantiles would instead sort every row.
+    Deterministic on any engine: md5 of the key's decimal string is
+    bit-stable, and percentile interpolation (type-7 linear) is the
+    same fixed IEEE expression in Spark and DuckDB, so estimates
+    hash-match cross-engine from the same rows.
+
+    Reference scope: the reference has no quantile machinery (exact SQL
+    aggregates only, /root/reference/store/*); this is the §2-extras
+    distribution sketch beside HLL (cardinality) and count-min
+    (frequency).
+    """
+    sample = df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, prefix_len)
+        == "0" * prefix_len
+    )
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(name)
+        for name, p in probs.items()
+    ]
+    aggs.append(F.count("*").cast("bigint").alias("n_sampled"))
+    return sample.groupBy(*group_cols).agg(*aggs)

@@ -147,3 +147,52 @@ def test_cms_sketch_is_bounded_and_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sampled quantiles — accuracy vs exact, determinism, scan-side filter
+# ---------------------------------------------------------------------------
+
+from mediacrawler_spark.operators.sketches import sampled_quantiles  # noqa: E402
+
+
+def _skewed_rows(n):
+    # deterministic long-tailed values: most small, a heavy tail
+    return [(i, "g", (i * 7919) % 97 + (10_000 if i % 50 == 0 else 0)) for i in range(n)]
+
+
+def test_sampled_quantiles_tracks_exact(spark):
+    rows = _skewed_rows(20_000)
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    got = sampled_quantiles(df, ["g"], "v", "id", {"p50": 0.5, "p90": 0.9}).collect()[0]
+    exact = sorted(v for _, _, v in rows)
+    p50, p90 = exact[len(exact) // 2], exact[int(len(exact) * 0.9)]
+    # 1/16 sample of 20k rows: ~1250 points; order-statistic error is
+    # small relative to the value spread (values 0..96 + tail)
+    assert abs(got["p50"] - p50) <= 5
+    assert abs(got["p90"] - p90) <= 8
+    assert 1000 <= got["n_sampled"] <= 1550  # ~binomial(20k, 1/16)
+
+
+def test_sampled_quantiles_deterministic_under_repartition(spark):
+    rows = _skewed_rows(5_000)
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    a = sampled_quantiles(df, ["g"], "v", "id", {"p50": 0.5}).collect()
+    b = sampled_quantiles(df.repartition(17), ["g"], "v", "id", {"p50": 0.5}).collect()
+    assert a == b
+
+
+def test_sampled_quantiles_corpus_never_shuffles(spark):
+    """The Bernoulli filter must run BEFORE the one group-by exchange so
+    only the sample is shuffled; no Generate, no Python."""
+    df = spark.createDataFrame(_skewed_rows(100), ["id", "g", "v"])
+    plan = (
+        sampled_quantiles(df, ["g"], "v", "id", {"p50": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Generate" not in plan and "BatchEvalPython" not in plan
+    # filter sits below the aggregate (appears after it in the plan dump)
+    assert plan.index("Filter") > plan.index("HashAggregate")
