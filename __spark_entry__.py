@@ -458,6 +458,30 @@ def q_txt_stats(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_txt_token_counts(spark, sf):
+    """Whitespace vs BPE-pre-tokenizer token counts per doc
+    (functions/textual.py:bpe_token_count): the LLM-training document
+    length beside the whitespace one. Both are pure-codegen regex
+    counts; the shared pattern lives in BPE_SPLIT_PATTERN and the
+    DuckDB oracle references the SAME constant (leftmost-first
+    alternation in both engines — counts are exact)."""
+    from mediacrawler_spark.functions.textual import bpe_token_count, token_count
+
+    d = _t(spark, sf, "documents")
+    n_bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, F.length("text").cast("double") / n_bpe).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("chars_per_bpe"),
+    ).orderBy("doc_id")
+
+
 def q_txt_quality(spark, sf):
     """Quality scoring (Gopher/C4-style cheap filter): per-doc component
     ratios + the composite score, all pure column expressions
@@ -695,6 +719,53 @@ def q_dedup_keep_canonical(spark, sf):
         .select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+def q_corpus_pipeline(spark, sf):
+    """END-TO-END training-corpus prep — the composition a real pipeline
+    runs, pinned as ONE dataflow: (1) quality gate (pure column exprs,
+    evaluated at the scan) → (2) language gate (en only) → (3) near-dup
+    keep-canonical (MinHash-LSH candidates, exact Jaccard≥0.8 verify,
+    connected components, drop non-canonical members) → (4) benchmark
+    decontamination (4-gram overlap vs the held-out doc_id%37==0 eval
+    split, gram set broadcast). Output is the SURVIVING DOC SET with its
+    gate values, so the oracle pins every stage's interaction, not just
+    counts. Scale shape: stages 1-2 and the decontamination corpus side
+    never shuffle; only the gated survivors enter the dedup exchanges."""
+    from mediacrawler_spark.functions.textual import lang_id, quality_score
+    from mediacrawler_spark.operators.corpus import decontaminate
+    from mediacrawler_spark.operators.graph import dedup_clusters
+    from mediacrawler_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    gated = corpus.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang"),
+    ).filter((F.col("quality") >= 1.0) & (F.col("lang") == "en"))
+    dd = gated.select("doc_id", "text")
+    cand = minhash_lsh_pairs(dd, threshold=0.5, max_bucket=1 << 20).select(
+        "id_a", "id_b"
+    )
+    pairs = ngram_jaccard_pairs(dd, cand, threshold=0.8).select("id_a", "id_b")
+    drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+    kept = gated.join(drop, "doc_id", "left_anti")
+    contaminated = decontaminate(kept.select("doc_id", "text"), bench, n=4).select(
+        "doc_id"
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
 
 
 def q_asof_join(spark, sf):
@@ -1264,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": q_stream_dedup_keys,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
+        "txt_token_counts": q_txt_token_counts,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_repetition": q_txt_repetition,
@@ -1276,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "corpus_pipeline": q_corpus_pipeline,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1380,6 +1453,113 @@ def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 10**12) -> str:
           SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
         ){iters}
         SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{n_iter} ORDER BY node
+    """
+
+
+_CORPUS_PIPELINE_ORACLE_SQL = r"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','a','in','is','it','you','that'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(
+                 ['der','die','das','und','ist','ein','nicht','mit','sich','auf'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(
+                 ['le','la','et','les','des','est','un','une','dans','que'], x))) AS fr,
+             len(list_filter(toks, x -> list_contains(
+                 ['el','la','de','que','y','en','un','los','se','no'], x))) AS es
+      FROM t0 WHERE doc_id % 37 <> 0),
+    g AS (
+      SELECT doc_id, text, toks,
+             ((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(en AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.0
+                    THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+             CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                  WHEN es = greatest(en, de, fr, es) THEN 'es'
+                  WHEN en = greatest(en, de, fr, es) THEN 'en'
+                  ELSE 'de' END AS lang
+      FROM s),
+    gated AS (
+      SELECT doc_id, text, toks, quality, lang FROM g
+      WHERE quality >= 1.0 AND lang = 'en'),
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sgl
+      FROM gated),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+      FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.8),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+    cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    kept AS (
+      SELECT doc_id, text, toks, quality, lang FROM gated
+      WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+      FROM t0 WHERE doc_id % 37 = 0),
+    contaminated AS (
+      SELECT DISTINCT k.doc_id
+      FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+            FROM kept) k
+      JOIN bgrams USING (gram))
+    SELECT doc_id, round(quality, 6) AS quality, lang,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+"""
+
+
+def _txt_token_counts_oracle_sql() -> str:
+    """DuckDB mirror of q_txt_token_counts; the BPE pre-tokenizer
+    pattern is read from functions/textual.py:BPE_SPLIT_PATTERN so the
+    two engines can never drift."""
+    from mediacrawler_spark.functions.textual import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return rf"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               round(CASE WHEN n_bpe_tokens > 0
+                          THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens
+                          ELSE 0.0 END, 6) AS chars_per_bpe
+        FROM c ORDER BY doc_id
     """
 
 
@@ -1663,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id
         """,
+        "txt_token_counts": _txt_token_counts_oracle_sql(),
         "txt_quality": r"""
             WITH t AS (
               SELECT doc_id, text,
@@ -1942,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cc JOIN sz USING (cluster_id)
             ORDER BY doc_id
         """,
+        "corpus_pipeline": _CORPUS_PIPELINE_ORACLE_SQL,
         "dedup_keep_canonical": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id AS id,

@@ -190,6 +190,8 @@ def main() -> None:
             "approx_distinct_hll",
             "cms_term_counts",
             "agg_quantile_sampled",
+            "txt_token_counts",
+            "corpus_pipeline",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -245,8 +247,9 @@ def main() -> None:
         # txt_lm_score; others unchanged); 11 = r05 (adds graph_pagerank/
         # search_bm25/approx_distinct_hll/cms_term_counts; others
         # unchanged); 12 = r05 (adds agg_quantile_sampled; others
-        # unchanged).
-        "query_rev": 12,
+        # unchanged); 13 = r05 (adds txt_token_counts/corpus_pipeline;
+        # others unchanged).
+        "query_rev": 13,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

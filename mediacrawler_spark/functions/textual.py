@@ -33,6 +33,23 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer, restricted to the Java-regex ∩ RE2 subset
+#: (no lookahead — the canonical pattern's trailing-space lookahead is
+#: dropped; both engines use leftmost-first ordered alternation, so
+#: match COUNTS agree exactly): contractions, optionally-space-prefixed
+#: letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Number of BPE pre-tokenizer segments — the LLM-training notion of
+    document length (whitespace ``token_count`` underestimates it on
+    contraction/punctuation-heavy text). Pure codegen ``regexp_count``;
+    cross-engine exact (probed vs DuckDB RE2 and python re on unicode,
+    CJK, contraction, and whitespace-run cases)."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

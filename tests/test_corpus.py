@@ -416,3 +416,56 @@ def test_bm25_rejects_bad_terms(spark):
         bm25_topk(df, [])
     with _pytest.raises(ValueError):
         bm25_topk(df, ["a", "a"])
+
+
+# ---------------------------------------------------------------------------
+# BPE pre-tokenizer count — independent reference: python `re` with its own
+# unicode classes ([^\W\d_] for \p{L}), so agreement is a 3rd-engine check
+# beside the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.functions.textual import bpe_token_count
+
+    # python \w includes '_', which \p{L}/\p{N} do not — spell the punct
+    # class as (non-space-non-word OR underscore) to match Java/RE2.
+    py_pat = r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+"
+    cases = [
+        "Hello, world!  It's 2026...",
+        "don't stop believin'",
+        "naïve café — über-cool 42x",
+        "中文测试 tokens 123",
+        "  leading and   multiple   spaces\t\ttabs\nnewlines  ",
+        "a'b''c",
+        "",
+        "!!!???...,,,",
+        "CamelCase snake_case kebab-case x1y2z3",
+        "emoji 🙂 and ½ fractions",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "t"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()
+    }
+    want = {i: len(_re.findall(py_pat, c)) for i, c in enumerate(cases)}
+    assert got == want
+
+
+def test_bpe_token_count_is_pure_codegen(spark):
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark.functions.textual import bpe_token_count
+
+    df = spark.createDataFrame([("hi there",)], ["t"])
+    plan = (
+        df.select(bpe_token_count(F.col("t")).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "Generate" not in plan
