@@ -721,6 +721,26 @@ def q_dedup_keep_canonical(spark, sf):
     )
 
 
+_TOKEN_BUDGETS = {"src0": 700, "src3": 400, "src7": 1200, "src19": 250}
+
+
+def q_sample_token_budget(spark, sf):
+    """Token-budget data mixing (operators/corpus.py:token_budget_sample):
+    per source, keep docs in deterministic md5(doc_id) order until the
+    source's token budget fills (running total BEFORE the doc < budget
+    — overshoot at most one doc). The budget table is a broadcast
+    literal; the only corpus-wide movement is one exchange of the
+    narrow (id, source, n_tokens, draw) projection for the cumsum
+    window. Budgets are below every source's total at every SF, so the
+    cut always bites."""
+    from mediacrawler_spark.operators.corpus import token_budget_sample
+
+    d = _t(spark, sf, "documents")
+    return token_budget_sample(d, ["source"], _TOKEN_BUDGETS).orderBy(
+        "source", "cum_tokens"
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """END-TO-END training-corpus prep — the composition a real pipeline
     runs, pinned as ONE dataflow: (1) quality gate (pure column exprs,
@@ -1349,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "corpus_pipeline": q_corpus_pipeline,
+        "sample_token_budget": q_sample_token_budget,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1453,6 +1474,32 @@ def _pagerank_oracle_sql(n_iter: int = 5, scale: int = 10**12) -> str:
           SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
         ){iters}
         SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{n_iter} ORDER BY node
+    """
+
+
+def _token_budget_oracle_sql() -> str:
+    """DuckDB mirror of token_budget_sample: identical md5 draw order,
+    window cumsum, keep rule (running total before the doc < budget).
+    Generated so the budget table stays in one place."""
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_TOKEN_BUDGETS.items()))
+    return rf"""
+        WITH b(source, budget) AS (VALUES {vals}),
+        t AS (
+          SELECT doc_id, d.source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x <> '')) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS draw,
+                 b.budget
+          FROM documents d JOIN b ON d.source = b.source
+        ), c AS (
+          SELECT doc_id, source, n_tokens, budget,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY draw
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < budget
+        ORDER BY source, cum_tokens
     """
 
 
@@ -2124,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "corpus_pipeline": _CORPUS_PIPELINE_ORACLE_SQL,
+        "sample_token_budget": _token_budget_oracle_sql(),
         "dedup_keep_canonical": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id AS id,

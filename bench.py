@@ -192,6 +192,7 @@ def main() -> None:
             "agg_quantile_sampled",
             "txt_token_counts",
             "corpus_pipeline",
+            "sample_token_budget",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -248,8 +249,9 @@ def main() -> None:
         # search_bm25/approx_distinct_hll/cms_term_counts; others
         # unchanged); 12 = r05 (adds agg_quantile_sampled; others
         # unchanged); 13 = r05 (adds txt_token_counts/corpus_pipeline;
-        # others unchanged).
-        "query_rev": 13,
+        # others unchanged); 14 = r05 (adds sample_token_budget; others
+        # unchanged).
+        "query_rev": 14,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

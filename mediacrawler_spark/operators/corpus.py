@@ -504,3 +504,62 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata: list[str],
+    budgets: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget data mixing: per stratum, keep documents in a
+    deterministic pseudo-random order until the stratum's token budget
+    is filled — the mixture-sampling step a pretraining pipeline runs to
+    hit a target token count per source/language/domain.
+
+    ``budgets`` maps stratum value (of the FIRST strata column when one
+    column, else a tuple) -> token budget. Order within a stratum is
+    md5(id) — uniform, engine-neutral, and unique per row, so the cut
+    is deterministic on any engine. The keep rule is "running total
+    BEFORE this document < budget": the budget is overshot by at most
+    one document, never undershot while eligible docs remain.
+
+    Scale shape: the only corpus-wide movement is ONE exchange of the
+    narrow (id, strata, n_tokens, draw) projection for the per-stratum
+    cumulative-sum window; token counts are computed scan-side
+    (:func:`token_count` — pure codegen), and the budget table joins as
+    a broadcast literal. Strata whose value is absent from ``budgets``
+    are dropped (budget 0).
+
+    Output: (id_col, *strata, n_tokens, cum_tokens) kept rows.
+    """
+    from mediacrawler_spark.functions.textual import token_count
+
+    if len(strata) != 1:
+        raise ValueError("token_budget_sample supports exactly one strata column")
+    scol = strata[0]
+    spark = df.sparkSession
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(budgets.items())],
+            [scol, "_budget"],
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(scol),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_draw"),
+    ).join(bdf, scol)
+    w = (
+        Window.partitionBy(scol)
+        .orderBy("_draw")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        cum.filter(before < F.col("_budget"))
+        .select(id_col, scol, "n_tokens", "cum_tokens")
+    )

@@ -469,3 +469,96 @@ def test_bpe_token_count_is_pure_codegen(spark):
         .toString()
     )
     assert "EvalPython" not in plan and "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token-budget data mixing — independent reference: own md5 ordering, own
+# running total, own keep rule.
+# ---------------------------------------------------------------------------
+
+
+def _budget_ref(rows, budgets):
+    import hashlib
+
+    out = []
+    by_src = {}
+    for doc_id, src, toks in rows:
+        by_src.setdefault(src, []).append((doc_id, toks))
+    for src, docs in by_src.items():
+        if src not in budgets:
+            continue
+        docs.sort(key=lambda d: hashlib.md5(str(d[0]).encode()).hexdigest())
+        cum = 0
+        for doc_id, toks in docs:
+            if cum < budgets[src]:
+                cum += toks
+                out.append((doc_id, src, toks, cum))
+    return sorted(out)
+
+
+def _budget_rows(n):
+    # n_tokens derived from a text of i%7+1 words
+    return [(i, f"s{i % 3}", i % 7 + 1) for i in range(n)]
+
+
+def _budget_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, ["doc_id", "source", "k"]).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), F.col("k").cast("int"))).alias(
+            "text"
+        ),
+    )
+
+
+def test_token_budget_sample_matches_reference(spark):
+    from mediacrawler_spark.operators.corpus import token_budget_sample
+
+    rows = _budget_rows(500)
+    budgets = {"s0": 40, "s1": 7, "s2": 1}
+    got = sorted(
+        tuple(r) for r in token_budget_sample(
+            _budget_df(spark, rows), ["source"], budgets
+        ).collect()
+    )
+    assert got == _budget_ref(rows, budgets)
+    # overshoot bound: per stratum, cum <= budget + max doc size; and the
+    # LAST kept doc is the only one allowed past the budget
+    for src, b in budgets.items():
+        kept = [r for r in got if r[1] == src]
+        assert kept, src
+        over = [r for r in kept if r[3] > b]
+        assert len(over) <= 1
+
+
+def test_token_budget_sample_deterministic_and_strata_dropped(spark):
+    from mediacrawler_spark.operators.corpus import token_budget_sample
+
+    rows = _budget_rows(300)
+    budgets = {"s0": 25}  # s1/s2 absent -> dropped entirely
+    df = _budget_df(spark, rows)
+    a = sorted(tuple(r) for r in token_budget_sample(df, ["source"], budgets).collect())
+    b = sorted(
+        tuple(r)
+        for r in token_budget_sample(df.repartition(13), ["source"], budgets).collect()
+    )
+    assert a == b
+    assert {r[1] for r in a} == {"s0"}
+
+
+def test_token_budget_sample_plan_shape(spark):
+    from mediacrawler_spark.operators.corpus import token_budget_sample
+
+    df = _budget_df(spark, _budget_rows(50))
+    plan = (
+        token_budget_sample(df, ["source"], {"s0": 10, "s1": 10, "s2": 10})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # broadcast budget join + ONE source-keyed exchange for the cumsum window
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 2  # window exchange (+ broadcast exchange)
+    assert "BatchEvalPython" not in plan
