@@ -1071,6 +1071,52 @@ def q_dedup_embedding(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication over the embeddings table:
+    embedding-cosine near-dup PAIRS (bucketed hyperplane self-join +
+    exact verify) → connected-component CLUSTERS → keep-one-per-cluster
+    FILTERED SET, in one dataflow — the embedding twin of the text-side
+    `corpus_pipeline`/`dedup_keep_canonical` story. Planted copies give
+    size-3 clusters (vec_id<20 appears 3×) and size-2 clusters
+    (20<=vec_id<50 appears 2×); natural pairs max out near cosine 0.51,
+    far below the 0.8 threshold, so the ground truth is exact. Output:
+    every KEPT vector with its cluster size (1 = unclustered)."""
+    from mediacrawler_spark.operators.graph import dedup_clusters
+    from mediacrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = cosine_near_dup_pairs(corpus, threshold=0.8, dim=64).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    kept = corpus.join(drop, "vec_id", "left_anti")
+    info = clusters.filter(F.col("is_canonical")).select(
+        F.col("doc_id").alias("vec_id"), "cluster_size"
+    )
+    return (
+        kept.join(info, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_txt_langid(spark, sf):
     """Language-ID heuristic (stopword vote, argmax with lexicographic-max
     tie-break) — stopword inventory inlined into the DuckDB oracle."""
@@ -1389,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
+        "semantic_dedup": q_semantic_dedup,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
         "media_frame_sample": q_media_frame_sample,
@@ -2438,6 +2485,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id + 10000 AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS neighbor_id
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+              UNION ALL
+              SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 20),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+            cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+            sizes AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+            SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+                   CAST(COALESCE(s.n, 1) AS BIGINT) AS cluster_size
+            FROM corpus c
+            LEFT JOIN sizes s ON s.cluster_id = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+            ORDER BY vec_id
         """,
         "dedup_embedding": """
             WITH corpus AS (
