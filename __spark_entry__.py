@@ -1185,6 +1185,39 @@ def q_media_frame_sample(spark, sf):
     ).orderBy("media_ref", "frame_idx")
 
 
+def q_media_dedup(spark, sf):
+    """Perceptual-hash image dedup (operators/media.py average_hash —
+    keep-one-per-aHash, the media twin of dedup_keep_canonical): blobs
+    synthesized from doc_id % 50 so every blob has byte-identical planted
+    copies; decode via the SQL-reproducible fake codec, aHash in exact
+    integer arithmetic (bit i set iff 16*b_i > sum(b), strictly greater,
+    so DuckDB reproduces it bit-for-bit), then group size + keep-canonical
+    flag per hash. Scale shape: the hash is pure codegen after the decode
+    mapInPandas; the only exchange is the ahash window — no pairwise image
+    comparison anywhere (hash-equality grouping is how production image
+    dedup runs at corpus scale)."""
+    from mediacrawler_spark.operators.media import (
+        _fake_decode,
+        average_hash,
+        decode_media,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode((F.col("doc_id") % 50).cast("string"), "utf-8").alias("data"),
+    )
+    hashed = average_hash(decode_media(media, decoder=_fake_decode))
+    w = W.partitionBy("ahash")
+    return hashed.select(
+        "media_ref",
+        F.col("ahash").cast("bigint").alias("ahash"),
+        F.count("*").over(w).cast("bigint").alias("group_n"),
+        (F.col("media_ref") == F.min("media_ref").over(w)).alias("is_canonical"),
+    ).orderBy("media_ref")
+
+
 def q_range_join(spark, sf):
     """Point-in-interval range join (operators/temporal.py range_join —
     bucketized: intervals explode to 30-min buckets, points carry one
@@ -1439,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
         "media_frame_sample": q_media_frame_sample,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -2579,5 +2613,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (h // 7) % 1024 AS BIGINT) AS height
             FROM m, LATERAL unnest(range(0, CAST(1 + h % 300 AS BIGINT), 30)) AS f(i)
             ORDER BY media_ref, frame_idx
+        """,
+        "media_dedup": """
+            WITH m AS (
+              SELECT 'blob:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     CAST(doc_id % 50 AS VARCHAR) AS s
+              FROM documents WHERE doc_id < 200),
+            v AS (
+              SELECT media_ref,
+                     list_transform(range(0, 16),
+                         i -> ascii(substring(s, CAST(i % length(s) AS INT) + 1, 1))) AS b
+              FROM m),
+            h AS (
+              SELECT media_ref,
+                     CAST(list_sum(list_transform(range(0, 16),
+                         i -> CASE WHEN 16 * b[CAST(i AS INT) + 1] > list_sum(b)
+                                   THEN 1 << CAST(i AS INT) ELSE 0 END)) AS BIGINT) AS ahash
+              FROM v)
+            SELECT media_ref, ahash,
+                   COUNT(*) OVER (PARTITION BY ahash) AS group_n,
+                   media_ref = MIN(media_ref) OVER (PARTITION BY ahash) AS is_canonical
+            FROM h ORDER BY media_ref
         """,
     }

@@ -194,6 +194,7 @@ def main() -> None:
             "corpus_pipeline",
             "sample_token_budget",
             "semantic_dedup",
+            "media_dedup",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -251,8 +252,9 @@ def main() -> None:
         # unchanged); 12 = r05 (adds agg_quantile_sampled; others
         # unchanged); 13 = r05 (adds txt_token_counts/corpus_pipeline;
         # others unchanged); 14 = r05 (adds sample_token_budget; others
-        # unchanged); 15 = r05 (adds semantic_dedup; others unchanged).
-        "query_rev": 15,
+        # unchanged); 15 = r05 (adds semantic_dedup; others unchanged);
+        # 16 = r05 (adds media_dedup; others unchanged).
+        "query_rev": 16,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -365,6 +365,46 @@ def _gray_feature(gray: np.ndarray, grid: int = 4) -> list[float]:
     return out.flatten().tolist()
 
 
+def average_hash(decoded: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
+    """Perceptual average-hash (aHash) over the decoded ``feature`` grid —
+    the hash production image-dedup pipelines group on (each bit says
+    "this block is brighter than the image mean"; identical/near-identical
+    images collide, so a plain hash-equality groupBy replaces any pairwise
+    image comparison at scale).
+
+    The reference stores every fetched image unconditionally (SURVEY S7 /
+    K4); this is the downstream keep-one step a training pipeline adds.
+
+    Exactness contract: features are byte-derived (b/255 per channel
+    block), and ``round(feature*255)`` recovers the integer exactly, so
+    the bit rule is carried out in pure integer arithmetic
+    (``dim*v_i > sum(v)`` — strictly-greater, ties fall to 0) and any SQL
+    engine reproduces the hash bit-for-bit. Pure column expressions
+    (whole-stage codegen): no UDF, no shuffle — the groupBy its caller
+    adds is the only exchange.
+    """
+    ints = F.transform(
+        F.col("feature"), lambda x: F.round(x * F.lit(255.0)).cast("long")
+    )
+    df = decoded.withColumn("_ah_ints", ints).withColumn(
+        "_ah_total",
+        F.aggregate("_ah_ints", F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    bits = [
+        F.when(
+            F.try_element_at("_ah_ints", F.lit(i + 1)) * dim > F.col("_ah_total"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(dim)
+    ]
+    ahash = bits[0]
+    for b in bits[1:]:
+        ahash = ahash + b
+    return df.withColumn(
+        "ahash", F.when(F.col("feature").isNotNull(), ahash)
+    ).drop("_ah_ints", "_ah_total")
+
+
 def wav_decode_one(data: bytes) -> tuple[int, np.ndarray] | None:
     """Pure-stdlib WAV (RIFF) decoder: PCM 8/16/24/32-bit and IEEE
     float32, any channel count (averaged to mono). Returns

@@ -1,0 +1,113 @@
+"""average_hash (aHash) — perceptual-hash image dedup.
+
+The reference stores every fetched image (study: /root/reference
+store/*/…_store_impl.py media branches); keep-one-per-perceptual-hash is
+the downstream training-pipeline step. The reference here is an
+INDEPENDENT pure-Python aHash (own byte cycling, own integer threshold,
+own bit packing) computed from the raw blob bytes — it never touches the
+package's feature/decode helpers, so agreement is a real cross-check,
+not self-agreement.
+"""
+
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.media import (
+    _FEATURE_DIM,
+    _fake_decode,
+    average_hash,
+    decode_media,
+)
+
+
+def _ref_ahash(data: bytes, dim: int = _FEATURE_DIM) -> int:
+    """Independent reference: cycle blob bytes to dim ints, bit i set iff
+    dim*b_i > sum (strict), little-endian bit packing."""
+    raw = list(data or b"\x00")
+    vals = [raw[i % len(raw)] for i in range(dim)]
+    total = sum(vals)
+    out = 0
+    for i, v in enumerate(vals):
+        if dim * v > total:
+            out |= 1 << i
+    return out
+
+
+BLOBS = [b"7", b"42", b"abcXYZ", b"aaaa", b"\x00\xff\x10\x80", b"hello world"]
+
+
+def test_ahash_matches_independent_reference(spark):
+    media = spark.createDataFrame(
+        [(f"m{i}", "image", b) for i, b in enumerate(BLOBS)],
+        "media_ref string, media_type string, data binary",
+    )
+    got = {
+        r["media_ref"]: r["ahash"]
+        for r in average_hash(decode_media(media, decoder=_fake_decode))
+        .select("media_ref", "ahash")
+        .collect()
+    }
+    for i, b in enumerate(BLOBS):
+        assert got[f"m{i}"] == _ref_ahash(b), (i, b)
+
+
+def test_ahash_constant_blob_is_zero(spark):
+    # all bytes equal -> no block strictly above the mean -> hash 0
+    media = spark.createDataFrame(
+        [("m", "image", b"aaaa")], "media_ref string, media_type string, data binary"
+    )
+    row = average_hash(decode_media(media, decoder=_fake_decode)).first()
+    assert row["ahash"] == 0
+
+
+def test_ahash_null_feature_stays_null(spark):
+    from mediacrawler_spark.operators.media import DECODED_SCHEMA
+
+    decoded = spark.createDataFrame(
+        [("m", "image", None, None, None, None)], schema=DECODED_SCHEMA
+    )
+    assert average_hash(decoded).first()["ahash"] is None
+
+
+def test_ahash_groups_planted_duplicates(spark):
+    # 3 copies of one blob + 2 of another + singletons; expected grouping
+    # comes from the INDEPENDENT reference hash, so aHash collisions
+    # between distinct blobs (e.g. any two constant blobs both hash to 0)
+    # are part of the expectation, not an accident.
+    rows = [
+        ("a1", b"914"),
+        ("a2", b"914"),
+        ("a3", b"914"),
+        ("b1", b"7401"),
+        ("b2", b"7401"),
+        ("c1", b"31x"),
+        ("c2", b"zzz9"),
+    ]
+    media = spark.createDataFrame(
+        [(r, "image", d) for r, d in rows],
+        "media_ref string, media_type string, data binary",
+    )
+    hashed = average_hash(decode_media(media, decoder=_fake_decode))
+    got = sorted(
+        (r["ahash"], r["n"])
+        for r in hashed.groupBy("ahash").agg(F.count("*").alias("n")).collect()
+    )
+    from collections import Counter
+
+    want = sorted(Counter(_ref_ahash(d) for _, d in rows).items())
+    assert got == want
+    # the planted 3x blob really is a size-3 group (its hash is distinct
+    # from every other blob's in this corpus)
+    assert dict(want)[_ref_ahash(b"914")] == 3
+
+
+def test_ahash_plan_is_codegen(spark):
+    media = spark.createDataFrame(
+        [("m", "image", b"12")], "media_ref string, media_type string, data binary"
+    )
+    plan = (
+        average_hash(decode_media(media, decoder=_fake_decode))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
