@@ -741,6 +741,21 @@ def q_sample_token_budget(spark, sf):
     )
 
 
+def q_shard_assign(spark, sf):
+    """Deterministic shuffle-and-shard layout
+    (operators/corpus.py:shard_assign — the physical write step of a
+    training pipeline): every doc lands in shard md5(doc_id)%16 and
+    takes an md5-order position inside it, so independent runs and
+    independent engines lay out byte-identical shard files. Shard id
+    and draw are scan-side codegen (15 hex digits keep the hex→int
+    conversion exact in signed 64-bit on both engines); the only
+    exchange is the shard partition for the position window."""
+    from mediacrawler_spark.operators.corpus import shard_assign
+
+    d = _t(spark, sf, "documents")
+    return shard_assign(d, 16).orderBy("doc_id")
+
+
 def q_corpus_pipeline(spark, sf):
     """END-TO-END training-corpus prep — the composition a real pipeline
     runs, pinned as ONE dataflow: (1) quality gate (pure column exprs,
@@ -1449,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_token_budget": q_sample_token_budget,
+        "shard_assign": q_shard_assign,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
@@ -2253,6 +2269,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_pipeline": _CORPUS_PIPELINE_ORACLE_SQL,
         "sample_token_budget": _token_budget_oracle_sql(),
+        "shard_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS draw,
+                     CAST(CAST(CONCAT('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 16 AS BIGINT) AS shard
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT) AS pos
+            FROM b ORDER BY doc_id
+        """,
         "dedup_keep_canonical": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id AS id,

@@ -195,6 +195,7 @@ def main() -> None:
             "sample_token_budget",
             "semantic_dedup",
             "media_dedup",
+            "shard_assign",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -253,8 +254,9 @@ def main() -> None:
         # unchanged); 13 = r05 (adds txt_token_counts/corpus_pipeline;
         # others unchanged); 14 = r05 (adds sample_token_budget; others
         # unchanged); 15 = r05 (adds semantic_dedup; others unchanged);
-        # 16 = r05 (adds media_dedup; others unchanged).
-        "query_rev": 16,
+        # 16 = r05 (adds media_dedup; others unchanged); 17 = r05 (adds
+        # shard_assign; others unchanged).
+        "query_rev": 17,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -563,3 +563,34 @@ def token_budget_sample(
         cum.filter(before < F.col("_budget"))
         .select(id_col, scol, "n_tokens", "cum_tokens")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard: the physical layout step a
+    training pipeline runs last — every doc lands in shard
+    ``md5(id) % n_shards`` and takes an md5-order position inside it, so
+    independent runs (and independent engines) write byte-identical
+    shard files. The hash IS the global shuffle: any id scheme, however
+    clustered, spreads evenly, and the draw fixes a reproducible order
+    with no coordinator. Shard id and draw are scan-side codegen; the
+    ONE exchange is the shard partition for the position window.
+
+    Returns (id_col, shard, pos) with pos 1-based and contiguous per
+    shard. 15 hex digits (60 bits) keep the draw-to-integer conversion
+    exact in a signed 64-bit value on any engine.
+    """
+    draw = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(draw, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("bigint")
+    base = df.select(F.col(id_col), shard.alias("shard"), draw.alias("_draw"))
+    w = Window.partitionBy("shard").orderBy("_draw", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from mediacrawler_spark.operators.corpus import (
     decontaminate,
+    shard_assign,
     shared_ngram_stats,
     stratified_sample,
     top_ngram_fraction,
@@ -561,4 +562,59 @@ def test_token_budget_sample_plan_shape(spark):
     # broadcast budget join + ONE source-keyed exchange for the cumsum window
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange") <= 2  # window exchange (+ broadcast exchange)
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- shard_assign
+
+
+def _shard_ref(ids, n_shards):
+    """Independent reference: own md5, own hex parse, own per-shard sort."""
+    import hashlib
+
+    rows = []
+    for i in ids:
+        d = hashlib.md5(str(i).encode()).hexdigest()
+        rows.append((i, int(d[:15], 16) % n_shards, d))
+    out = {}
+    by_shard = {}
+    for i, s, d in rows:
+        by_shard.setdefault(s, []).append((d, i))
+    for s, lst in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(lst), start=1):
+            out[i] = (s, pos)
+    return out
+
+
+def test_shard_assign_matches_reference(spark):
+    ids = list(range(400))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assign(df, 16).collect()
+    }
+    assert got == _shard_ref(ids, 16)
+
+
+def test_shard_assign_balanced_and_contiguous(spark):
+    # clustered ids (all one prefix) still spread: the hash is the shuffle
+    ids = [1000000 + i for i in range(512)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    rows = shard_assign(df, 8).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["shard"], []).append(r["pos"])
+    assert set(per) == set(range(8))  # every shard populated
+    for s, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), s  # contiguous
+    sizes = sorted(len(v) for v in per.values())
+    assert sizes[0] >= 0.4 * sizes[-1]  # balanced within hash noise
+
+
+def test_shard_assign_plan_one_exchange(spark):
+    df = spark.createDataFrame([(i,) for i in range(32)], "doc_id bigint")
+    plan = (
+        shard_assign(df, 4)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
