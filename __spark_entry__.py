@@ -1233,6 +1233,36 @@ def q_media_dedup(spark, sf):
     ).orderBy("media_ref")
 
 
+def q_media_dedup_near(spark, sf):
+    """Near-duplicate image groups (operators/media.py ahash_near_pairs —
+    hamming-≤2 pairs between DISTINCT aHash values, the pHash near-match
+    step on top of exact-hash grouping): blobs are 24-char text prefixes
+    (pure ASCII at every SF, probed, so DuckDB's per-character ascii()
+    equals the engine's per-byte view; the byte variety yields ~130
+    distinct hashes with hundreds of true hamming-≤2 pairs — every stage
+    bites), then pigeonhole chunk equi-join + exact bit_count(xor)
+    verify. The oracle recomputes the hashes and does literal all-pairs
+    hamming in DuckDB — an independent (quadratic) algorithm the chunked
+    join must agree with. Scale shape: only distinct hash values (≤ 2^16
+    here; group count in general) enter the self-join — the corpus never
+    re-enters."""
+    from mediacrawler_spark.operators.media import (
+        _fake_decode,
+        ahash_near_pairs,
+        average_hash,
+        decode_media,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.substring("text", 1, 24), "utf-8").alias("data"),
+    )
+    hashed = average_hash(decode_media(media, decoder=_fake_decode))
+    return ahash_near_pairs(hashed, max_hamming=2).orderBy("hash_a", "hash_b")
+
+
 def q_range_join(spark, sf):
     """Point-in-interval range join (operators/temporal.py range_join —
     bucketized: intervals explode to 30-min buckets, points carry one
@@ -1489,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_frame_sample": q_media_frame_sample,
         "media_dedup": q_media_dedup,
+        "media_dedup_near": q_media_dedup_near,
     }
 
 
@@ -2663,5 +2694,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY ahash) AS group_n,
                    media_ref = MIN(media_ref) OVER (PARTITION BY ahash) AS is_canonical
             FROM h ORDER BY media_ref
+        """,
+        "media_dedup_near": """
+            WITH m AS (
+              SELECT substring(text, 1, 24) AS s
+              FROM documents WHERE doc_id < 200),
+            v AS (
+              SELECT list_transform(range(0, 16),
+                         i -> ascii(substring(s, CAST(i % length(s) AS INT) + 1, 1))) AS b
+              FROM m),
+            h AS (
+              SELECT DISTINCT
+                     CAST(list_sum(list_transform(range(0, 16),
+                         i -> CASE WHEN 16 * b[CAST(i AS INT) + 1] > list_sum(b)
+                                   THEN 1 << CAST(i AS INT) ELSE 0 END)) AS BIGINT) AS ahash
+              FROM v)
+            SELECT a.ahash AS hash_a, b.ahash AS hash_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+            FROM h a, h b
+            WHERE a.ahash < b.ahash AND bit_count(xor(a.ahash, b.ahash)) <= 2
+            ORDER BY hash_a, hash_b
         """,
     }

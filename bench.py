@@ -195,6 +195,7 @@ def main() -> None:
             "sample_token_budget",
             "semantic_dedup",
             "media_dedup",
+            "media_dedup_near",
             "shard_assign",
         ]
         for name in bench_queries:
@@ -255,8 +256,9 @@ def main() -> None:
         # others unchanged); 14 = r05 (adds sample_token_budget; others
         # unchanged); 15 = r05 (adds semantic_dedup; others unchanged);
         # 16 = r05 (adds media_dedup; others unchanged); 17 = r05 (adds
-        # shard_assign; others unchanged).
-        "query_rev": 17,
+        # shard_assign; others unchanged); 18 = r05 (adds
+        # media_dedup_near; others unchanged).
+        "query_rev": 18,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

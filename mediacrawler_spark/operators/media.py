@@ -405,6 +405,53 @@ def average_hash(decoded: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
     ).drop("_ah_ints", "_ah_total")
 
 
+def ahash_near_pairs(
+    hashed: DataFrame, max_hamming: int = 2, dim: int = _FEATURE_DIM
+) -> DataFrame:
+    """Near-duplicate image groups: hamming-≤k pairs between DISTINCT
+    aHash values (the pHash near-match step production photo dedup runs
+    on top of exact-hash grouping).
+
+    Scale shape: exact-equal images already collapsed to one group per
+    hash (``average_hash`` + groupBy), so near-dup merging only needs
+    the distinct hash VALUES — at most 2^dim rows and in practice the
+    group count — and the corpus never re-enters the join. Candidates
+    come from the pigeonhole split into max_hamming+1 bit chunks (any
+    pair within hamming ≤ k leaves at least one chunk untouched, so an
+    equi-join on (chunk_id, chunk_value) finds every true pair — same
+    guarantee as the simhash splits, operators/text_dedup.py); exact
+    ``bit_count(xor)`` verifies. Returns (hash_a, hash_b, hamming) with
+    hash_a < hash_b.
+    """
+    n_chunks = max_hamming + 1
+    width = (dim + n_chunks - 1) // n_chunks
+    mask = (1 << width) - 1
+    hs = hashed.select("ahash").where(F.col("ahash").isNotNull()).distinct()
+    parts = [
+        hs.select(
+            "ahash",
+            F.lit(c).alias("chunk_id"),
+            F.shiftright("ahash", c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a.ahash") < F.col("b.ahash"))
+        .select(F.col("a.ahash").alias("hash_a"), F.col("b.ahash").alias("hash_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def wav_decode_one(data: bytes) -> tuple[int, np.ndarray] | None:
     """Pure-stdlib WAV (RIFF) decoder: PCM 8/16/24/32-bit and IEEE
     float32, any channel count (averaged to mono). Returns

@@ -111,3 +111,49 @@ def test_ahash_plan_is_codegen(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
+
+
+# ----------------------------------------------------------- ahash_near_pairs
+
+
+def _brute_pairs(hashes, k):
+    """Independent all-pairs hamming reference."""
+    hs = sorted(set(hashes))
+    out = set()
+    for i, a in enumerate(hs):
+        for b in hs[i + 1 :]:
+            h = bin(a ^ b).count("1")
+            if h <= k:
+                out.add((a, b, h))
+    return out
+
+
+def test_ahash_near_pairs_matches_bruteforce(spark):
+    from mediacrawler_spark.operators.media import ahash_near_pairs
+
+    # 16-bit hashes with planted near neighbors at hamming 1, 2 and 3
+    hashes = [0x0000, 0x0001, 0x0003, 0x0007, 0x8001, 0xAAAA, 0xAAAB,
+              0x5555, 0x1234, 0x1235, 0x1236, 0xFFFF, 0x7FFF]
+    hashed = spark.createDataFrame(
+        [(h,) for h in hashes for _ in range(2)], "ahash bigint"  # dup rows too
+    )
+    got = {
+        (r["hash_a"], r["hash_b"], r["hamming"])
+        for r in ahash_near_pairs(hashed, max_hamming=2).collect()
+    }
+    assert got == _brute_pairs(hashes, 2)
+    # hamming-3 neighbors are excluded at k=2 but present at k=3
+    got3 = {
+        (r["hash_a"], r["hash_b"], r["hamming"])
+        for r in ahash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    assert got3 == _brute_pairs(hashes, 3)
+    assert (0x0000, 0x0007, 3) in got3 and (0x0000, 0x0007, 3) not in got
+
+
+def test_ahash_near_pairs_null_hash_ignored(spark):
+    from mediacrawler_spark.operators.media import ahash_near_pairs
+
+    hashed = spark.createDataFrame([(1,), (3,), (None,)], "ahash bigint")
+    rows = ahash_near_pairs(hashed, max_hamming=2).collect()
+    assert {(r["hash_a"], r["hash_b"], r["hamming"]) for r in rows} == {(1, 3, 1)}
