@@ -912,6 +912,47 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_term_drift(spark, sf):
+    """Corpus term-distribution drift between two deterministic slices
+    (md5(doc_id) first hex digit < '8' → slice 'a'), as total-variation
+    distance kept INTEGER-EXACT until the one final division: per-term
+    drift numerators |k_a·N_b − k_b·N_a| are exact bigints on both
+    engines, so the 6-dp TV scalar and the top-20 attribution are
+    bit-reproducible — no float-sum ordering hazard. One hash-agg on
+    term, single-row broadcast totals, TakeOrderedAndProject top-k."""
+    from mediacrawler_spark.operators.corpus import term_drift
+
+    d = _t(spark, sf, "documents").select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8", "a"
+        )
+        .otherwise("b")
+        .alias("slice"),
+        "text",
+    )
+    return term_drift(d, top_k=20).orderBy(F.col("drift_num").desc(), "term")
+
+
+def q_dedup_containment(spark, sf):
+    """EXACT directed shingle-containment self-join (|A∩B|/|A| >= 0.8)
+    via contained-side-only prefix filtering — the asymmetric dedup pass
+    that catches a short document pasted inside a longer one, which
+    symmetric Jaccard misses. The DuckDB oracle recomputes ALL ordered
+    pairs by the direct shingle equi-join (a.id <> b.id, normalized by
+    the contained side's set size), so the hash compare pins the
+    asymmetric prefix filter's completeness."""
+    from mediacrawler_spark.operators.text_dedup import containment_join
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return (
+        containment_join(d, threshold=0.8)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash candidate generation (hamming 0 = all 4 pigeonhole chunks
     collide) → exact distinct-token-set verify. A token multiset determines
@@ -1198,6 +1239,42 @@ def q_media_frame_sample(spark, sf):
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
     ).orderBy("media_ref", "frame_idx")
+
+
+def q_media_audio_energy(spark, sf):
+    """Audio quality-filter stats (operators/media.py audio_energy — the
+    silence/clipping pass a training pipeline runs before keeping a
+    clip): PCM sample arrays synthesized from the doc text's ASCII codes
+    (the WAV→int conversion itself is pinned by the adversarial decode
+    pytest), then INTEGER-EXACT Σs², peak, silence/clip counts as pure
+    HOF codegen — no shuffle, no UDF, one end ratio rounded 6dp. The
+    oracle recomputes every stat from the same character codes in
+    DuckDB."""
+    from mediacrawler_spark.operators.media import audio_energy
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    med = d.select(
+        F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.expr(
+            "case when length(text) > 0 then "
+            "transform(sequence(1, least(length(text), 200)),"
+            " i -> ascii(substr(text, i, 1)) - 96) "
+            "else cast(array() as array<int>) end"
+        ).alias("samples"),
+    )
+    return (
+        audio_energy(med)
+        .select(
+            "media_ref",
+            "n_samples",
+            "energy",
+            "peak_abs",
+            "silence_n",
+            "clip_n",
+            "silence_ratio",
+        )
+        .orderBy("media_ref")
+    )
 
 
 def q_media_dedup(spark, sf):
@@ -1508,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "term_drift": q_term_drift,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "creator_record": q_creator_record,
@@ -1517,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "txt_langid": q_txt_langid,
         "media_decode": q_media_decode,
+        "media_audio_energy": q_media_audio_energy,
         "media_frame_sample": q_media_frame_sample,
         "media_dedup": q_media_dedup,
         "media_dedup_near": q_media_dedup_near,
@@ -2519,6 +2599,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.5
             ORDER BY id_a, id_b
         """,
+        "term_drift": r"""
+            WITH t AS (
+              SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                          THEN 'a' ELSE 'b' END AS s,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            ex AS (SELECT s, unnest(toks) AS term FROM t),
+            per_term AS (
+              SELECT term,
+                     CAST(sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                     CAST(sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+              FROM ex GROUP BY term),
+            tot AS (
+              SELECT CAST(sum(k_a) AS BIGINT) AS n_a,
+                     CAST(sum(k_b) AS BIGINT) AS n_b
+              FROM per_term),
+            scored AS (
+              SELECT term, k_a, k_b,
+                     CAST(abs(k_a * n_b - k_b * n_a) AS BIGINT) AS drift_num,
+                     n_a, n_b
+              FROM per_term, tot),
+            tv AS (
+              SELECT round(CAST(sum(drift_num) AS DOUBLE)
+                           / (2.0 * CAST(max(n_a) * max(n_b) AS DOUBLE)), 6)
+                     AS tv_distance
+              FROM scored)
+            SELECT term, k_a, k_b, drift_num, tv_distance
+            FROM (SELECT term, k_a, k_b, drift_num FROM scored
+                  ORDER BY drift_num DESC, term LIMIT 20), tv
+            ORDER BY drift_num DESC, term
+        """,
+        "dedup_containment": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS k
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(k * 1.0 / sa.n, 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            WHERE k * 1.0 / sa.n >= 0.8
+            ORDER BY id_a, id_b
+        """,
         "dedup_minhash_lsh": r"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -2647,6 +2781,29 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'de' END AS lang
               FROM h)
             GROUP BY lang ORDER BY lang
+        """,
+        "media_audio_energy": """
+            WITH m AS (
+              SELECT 'blob:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     list_transform(
+                         range(1, least(length(text), 200) + 1),
+                         i -> ascii(substring(text, i, 1)) - 96) AS s
+              FROM documents WHERE doc_id < 200)
+            SELECT media_ref,
+                   CAST(len(s) AS BIGINT) AS n_samples,
+                   CAST(coalesce(list_sum(list_transform(
+                        s, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy,
+                   CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0)
+                        AS BIGINT) AS peak_abs,
+                   CAST(len(list_filter(s, x -> abs(x) < 10)) AS BIGINT)
+                        AS silence_n,
+                   CAST(len(list_filter(s, x -> abs(x) >= 60)) AS BIGINT)
+                        AS clip_n,
+                   CASE WHEN len(s) > 0
+                        THEN round(CAST(len(list_filter(s, x -> abs(x) < 10))
+                                        AS DOUBLE) / CAST(len(s) AS DOUBLE), 6)
+                        ELSE 0.0 END AS silence_ratio
+            FROM m ORDER BY media_ref
         """,
         "media_decode": """
             WITH m AS (

@@ -197,6 +197,9 @@ def main() -> None:
             "media_dedup",
             "media_dedup_near",
             "shard_assign",
+            "dedup_containment",
+            "term_drift",
+            "media_audio_energy",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -258,7 +261,7 @@ def main() -> None:
         # 16 = r05 (adds media_dedup; others unchanged); 17 = r05 (adds
         # shard_assign; others unchanged); 18 = r05 (adds
         # media_dedup_near; others unchanged).
-        "query_rev": 18,
+        "query_rev": 19,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -594,3 +594,75 @@ def shard_assign(
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def term_drift(
+    df: DataFrame,
+    slice_col: str = "slice",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Term-distribution drift between two corpus slices, INTEGER-EXACT.
+
+    The monitor a continuously-fed training pipeline runs between crawl
+    batches: has the unigram distribution of slice 'a' (say, last
+    week's crawl) moved away from slice 'b' (this week's)?  The metric
+    is total-variation distance ``TV = 1/2 · Σ_t |p_a(t) - p_b(t)|``
+    — but floating-point probability sums are engine-order-dependent,
+    so everything up to the FINAL division stays in exact integers:
+
+        |p_a - p_b| = |k_a·N_b - k_b·N_a| / (N_a·N_b)
+
+    with k the term count in a slice and N the slice's total token
+    count. ``drift_num = |k_a·N_b - k_b·N_a|`` is an exact bigint per
+    term; their bigint sum divides ONCE by ``2·N_a·N_b`` in double,
+    identical on any engine. (Headroom: k·N < 2^63 holds to ~3×10^9
+    tokens per slice; beyond that, pre-scale counts by a common power
+    of two — the ranking and the 6-dp TV are unchanged.)
+
+    Output: the ``top_k`` most-drifted terms (ORDER BY drift_num DESC,
+    term ASC — fully deterministic) with their exact per-slice counts,
+    plus the corpus-wide ``tv_distance`` repeated on each row so one
+    result set carries both the headline scalar and its attribution.
+
+    Scale: tokenization is scan-side codegen; ONE hash-agg keyed by
+    term (map-side partial combine) with conditional sums per slice;
+    totals are a single-row broadcast; top-k is TakeOrderedAndProject.
+    No join of the corpus against itself, nothing driver-side.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    ex = df.select(
+        F.col(slice_col).alias("s"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per_term = ex.groupBy("term").agg(
+        F.sum(F.when(F.col("s") == "a", 1).otherwise(0)).cast("bigint").alias("k_a"),
+        F.sum(F.when(F.col("s") == "b", 1).otherwise(0)).cast("bigint").alias("k_b"),
+    )
+    totals = per_term.agg(
+        F.sum("k_a").cast("bigint").alias("n_a"), F.sum("k_b").cast("bigint").alias("n_b")
+    )
+    scored = per_term.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "k_a",
+        "k_b",
+        F.abs(F.col("k_a") * F.col("n_b") - F.col("k_b") * F.col("n_a"))
+        .cast("bigint")
+        .alias("drift_num"),
+        "n_a",
+        "n_b",
+    )
+    tv = scored.groupBy("n_a", "n_b").agg(
+        F.sum("drift_num").cast("bigint").alias("s_num")
+    )
+    tv_col = F.round(
+        F.col("s_num").cast("double")
+        / (F.lit(2.0) * (F.col("n_a") * F.col("n_b")).cast("double")),
+        6,
+    ).alias("tv_distance")
+    top = (
+        scored.select("term", "k_a", "k_b", "drift_num")
+        .orderBy(F.col("drift_num").desc(), "term")
+        .limit(top_k)
+    )
+    return top.crossJoin(F.broadcast(tv.select(tv_col)))

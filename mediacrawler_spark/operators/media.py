@@ -617,3 +617,56 @@ def sample_frames(decoded: DataFrame, every_n: int = 30) -> DataFrame:
         )
         .select("media_ref", "frame_idx", "width", "height")
     )
+
+
+def audio_energy(
+    decoded: DataFrame,
+    samples_col: str = "samples",
+    silence_abs: int = 10,
+    clip_abs: int = 60,
+) -> DataFrame:
+    """Integer-exact audio quality stats over a PCM sample array column
+    — the audio filter pass a training pipeline runs before keeping a
+    clip (trim/drop silence, flag clipping), the audio analog of the
+    image aHash/quality stages.
+
+    Input: ``samples_col`` is ``array<int>`` integer PCM (any bit depth
+    whose values fit an int; ``wav_decode_one``'s float mono converts
+    back exactly via round(mono·2^15) for 16-bit sources — pinned in
+    tests). All stats are EXACT integer arithmetic, so any engine
+    reproduces them bit-for-bit; the one ratio divides once at the end:
+
+    - ``n_samples``     — sample count (bigint)
+    - ``energy``        — Σ s² (bigint; 16-bit samples overflow only
+      past ~8·10^9 samples ≈ 54 h at 44.1 kHz per clip)
+    - ``peak_abs``      — max |s| (bigint; 0 for empty)
+    - ``silence_n``     — #{ |s| < silence_abs }
+    - ``clip_n``        — #{ |s| >= clip_abs }
+    - ``silence_ratio`` — silence_n / n_samples, rounded 6dp (0.0 when
+      empty)
+
+    Scale shape: every stat is a per-row higher-order-function column
+    expression (codegen) — no shuffle, no UDF, no per-row Python; the
+    sample arrays never leave their scan partition.
+    """
+    s = F.col(samples_col)
+    big = lambda c: c.cast("bigint")  # noqa: E731
+    n = big(F.size(s))
+    energy = F.aggregate(
+        s, F.lit(0).cast("bigint"), lambda acc, x: acc + big(x) * big(x)
+    )
+    peak = F.coalesce(big(F.array_max(F.transform(s, F.abs))), F.lit(0).cast("bigint"))
+    silence_n = big(F.size(F.filter(s, lambda x: F.abs(x) < F.lit(silence_abs))))
+    clip_n = big(F.size(F.filter(s, lambda x: F.abs(x) >= F.lit(clip_abs))))
+    ratio = F.when(
+        n > 0, F.round(silence_n.cast("double") / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return decoded.select(
+        "*",
+        n.alias("n_samples"),
+        energy.alias("energy"),
+        peak.alias("peak_abs"),
+        silence_n.alias("silence_n"),
+        clip_n.alias("clip_n"),
+        ratio.alias("silence_ratio"),
+    )

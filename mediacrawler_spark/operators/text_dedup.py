@@ -544,3 +544,82 @@ def jaccard_similarity_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directed shingle-CONTAINMENT self-join: ordered pairs
+    ``(id_a, id_b, containment)`` with ``C(A→B) = |A∩B| / |A| >= t`` —
+    doc A's shingle set t-contained in doc B's. The asymmetric twin of
+    ``jaccard_similarity_join``: Jaccard misses a short document pasted
+    into a much longer one (the union is dominated by the container),
+    which is exactly the quote/mirror/wrapper case a training-data dedup
+    pass must catch (C4/RealNews-style "document embedded in another").
+    Both directions of a pair are reported independently when both pass.
+
+    Candidate generation is prefix filtering on the CONTAINED side only:
+    C >= t implies ``|A∩B| >= ceil(t·|A|)``, so at most
+    ``|A| - ceil(t·|A|)`` grams of A miss B — under ANY fixed total
+    order, one of A's first ``|A| - ceil(t·|A|) + 1`` grams must hit B.
+    The container side indexes ALL its grams (an asymmetric join admits
+    no container-side prefix: any gram of B may be the witness), so
+    completeness is unconditional. The common order is (global
+    doc-frequency ASC, gram ASC) — contained-side prefixes are their
+    rarest grams, keeping hot-gram join groups small. Size filter:
+    ``|B| >= ceil(t·|A|)`` (the intersection can't exceed |B|).
+
+    Shuffles at scale: one hash-agg for gram frequencies, one window by
+    id for prefix ranks, one candidate equi-join on (prefix gram ⋈ all
+    grams), then the output-bounded exact ``array_intersect`` verify on
+    candidates alone — no all-pairs stage, no sketch, no recall knob.
+    A fully-boilerplate corpus degenerates to output-size candidates
+    (every pair IS contained), never to wasted quadratic work.
+
+    Reference parity: the reference dedups per store by exact content
+    key (/root/reference/store/xhs/xhs_store_impl.py:127-133); this is
+    the asymmetric near-dup generalization kept exact.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sh = sh.select("id", "sh", F.size("sh").alias("n")).persist()
+    ex = sh.select("id", "n", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "g")
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = (
+        ex.join(freq, "g")
+        .select("id", "n", "g", F.row_number().over(w).alias("p"))
+        .filter(F.col("p") <= plen)
+    )
+    a = prefix.select("g", F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    b = ex.select("g", F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = (
+        cand.join(
+            sh.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("containment", inter / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
