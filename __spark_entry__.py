@@ -912,6 +912,24 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_frontier_host_skew(spark, sf):
+    """Hot-key skew report (operators/skew.py key_skew_report — the
+    measurement behind the engine's hot-host splitting and salted
+    top-k): per-host counts, share, exact-integer Herfindahl index and
+    hot factor (max/mean ratio, THE salting signal). Hosts synthesized
+    from events.user_id; every scalar's numerator is an exact bigint
+    (Σk², max·n_keys) divided once in double, so DuckDB reproduces the
+    6-dp values bit-for-bit."""
+    from mediacrawler_spark.operators.skew import key_skew_report
+
+    e = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("host")
+    )
+    return key_skew_report(e, "host", top_k=20).orderBy(
+        F.col("cnt").desc(), "key"
+    )
+
+
 def q_term_drift(spark, sf):
     """Corpus term-distribution drift between two deterministic slices
     (md5(doc_id) first hex digit < '8' → slice 'a'), as total-variation
@@ -1587,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "term_drift": q_term_drift,
+        "frontier_host_skew": q_frontier_host_skew,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "creator_record": q_creator_record,
@@ -2598,6 +2617,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "frontier_host_skew": r"""
+            WITH per AS (
+              SELECT 'h' || CAST(user_id AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt
+              FROM per)
+            SELECT key, cnt,
+                   round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+                   total, n_keys,
+                   round(CAST(hhi_num AS DOUBLE)
+                         / CAST(total * total AS DOUBLE), 6) AS hhi,
+                   round(CAST(max_cnt * n_keys AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS hot_factor
+            FROM (SELECT key, cnt FROM per ORDER BY cnt DESC, key LIMIT 20), tot
+            ORDER BY cnt DESC, key
         """,
         "term_drift": r"""
             WITH t AS (

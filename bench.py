@@ -200,6 +200,7 @@ def main() -> None:
             "dedup_containment",
             "term_drift",
             "media_audio_energy",
+            "frontier_host_skew",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -260,8 +261,10 @@ def main() -> None:
         # unchanged); 15 = r05 (adds semantic_dedup; others unchanged);
         # 16 = r05 (adds media_dedup; others unchanged); 17 = r05 (adds
         # shard_assign; others unchanged); 18 = r05 (adds
-        # media_dedup_near; others unchanged).
-        "query_rev": 19,
+        # media_dedup_near; others unchanged); 19 = r05 (adds
+        # dedup_containment, term_drift, media_audio_energy); 20 = r05
+        # (adds frontier_host_skew; others unchanged).
+        "query_rev": 20,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
