@@ -912,6 +912,26 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_embedding_outliers(spark, sf):
+    """Embedding outlier screen (operators/quantize.py
+    quantized_outliers): top-20 vectors by exact-integer squared
+    distance to the integer-rounded mean int8 code vector — the
+    direction-outlier filter run before embeddings feed training.
+    Quantization is the oracle-pinned int8 rule; dim sums and scores
+    are exact bigints (score ≤ dim·254², overflow-free at any corpus
+    size); the one S/n division is a single IEEE double op. The DuckDB
+    oracle recomputes codes, dim sums, rounded mean, and scores from
+    scratch."""
+    from mediacrawler_spark.operators.quantize import quantized_outliers
+
+    e = _t(spark, sf, "embeddings")
+    return (
+        quantized_outliers(e, "vec_id", "embedding", top_k=20)
+        .select(F.col("id").cast("bigint").alias("vec_id"), "outlier_score")
+        .orderBy(F.col("outlier_score").desc(), "vec_id")
+    )
+
+
 def q_frontier_host_skew(spark, sf):
     """Hot-key skew report (operators/skew.py key_skew_report — the
     measurement behind the engine's hot-host splitting and salted
@@ -1606,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "term_drift": q_term_drift,
         "frontier_host_skew": q_frontier_host_skew,
+        "embedding_outliers": q_embedding_outliers,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "creator_record": q_creator_record,
@@ -2617,6 +2638,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "embedding_outliers": """
+            WITH qz AS (
+                SELECT vec_id,
+                       CASE WHEN list_max(list_transform(embedding,
+                                  y -> abs(CAST(y AS DOUBLE)))) > 0
+                            THEN list_transform(embedding, x ->
+                                 CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                                      list_max(list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+                                      AS BIGINT))
+                            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                       END AS q
+                FROM embeddings),
+            ex AS (
+                SELECT t.i AS i, qz.q[t.i] AS v
+                FROM qz, LATERAL unnest(range(1, len(qz.q) + 1)) AS t(i)),
+            nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qz),
+            sums AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY i),
+            mvec AS (
+                SELECT list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                            ORDER BY i) AS m
+                FROM sums, nrow GROUP BY n),
+            scored AS (
+                SELECT qz.vec_id,
+                       CAST(list_sum(list_transform(range(1, len(qz.q) + 1),
+                            i -> (qz.q[i] - m[i]) * (qz.q[i] - m[i])))
+                            AS BIGINT) AS outlier_score
+                FROM qz, mvec)
+            SELECT vec_id, outlier_score FROM scored
+            ORDER BY outlier_score DESC, vec_id LIMIT 20
         """,
         "frontier_host_skew": r"""
             WITH per AS (

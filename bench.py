@@ -201,6 +201,7 @@ def main() -> None:
             "term_drift",
             "media_audio_energy",
             "frontier_host_skew",
+            "embedding_outliers",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -263,8 +264,9 @@ def main() -> None:
         # shard_assign; others unchanged); 18 = r05 (adds
         # media_dedup_near; others unchanged); 19 = r05 (adds
         # dedup_containment, term_drift, media_audio_energy); 20 = r05
-        # (adds frontier_host_skew; others unchanged).
-        "query_rev": 20,
+        # (adds frontier_host_skew; others unchanged); 21 = r05 (adds
+        # embedding_outliers; others unchanged).
+        "query_rev": 21,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

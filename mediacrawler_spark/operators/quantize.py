@@ -133,3 +133,65 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot")
     )
+
+
+def quantized_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+) -> DataFrame:
+    """Embedding outlier filter, INTEGER-EXACT in quantized space — the
+    noise/garbage screen a training pipeline runs over an embedding
+    column before the corpus feeds contrastive or retrieval training
+    (mis-embedded blobs, empty-content vectors, off-manifold junk sit
+    far from the corpus centroid).
+
+    Exactness design: float centroids and float distances are
+    engine-order-dependent, so the score is computed entirely in
+    integers over the int8 codes (the same ``int8_codes`` rule the
+    quantized-ANN oracle already pins bit-exactly):
+
+        m_i     = floor(S_i / n + 0.5)        (integer-rounded mean code,
+                                               S_i = Σ_j q_{j,i} exact bigint)
+        score_j = Σ_i (q_{j,i} - m_i)²        (exact, ≤ dim·254² — no
+                                               overflow at ANY corpus size)
+
+    The one division (S_i/n) is a single IEEE double op identical on
+    any engine. Codes are per-vector max-abs normalized, so this flags
+    DIRECTION outliers (angular distance from the mean direction),
+    which is the right notion for cosine-space embeddings.
+
+    Output: top_k (id, outlier_score) by score DESC, id ASC.
+
+    Scale shape: one posexplode hash-agg keyed by dim index (dim keys,
+    map-side partial combine — never skewed), a dim-sized mean vector
+    broadcast back (bounded like the IVF centroid sample), one codegen
+    pass for scores, TakeOrderedAndProject. No self-join, no UDF.
+    """
+    q = quantize_int8(df, id_col, vec_col).select("id", "q")
+    ex = q.select(F.posexplode("q").alias("i", "v"))
+    sums = ex.groupBy("i").agg(F.sum(F.col("v").cast("long")).alias("s"))
+    nrow = q.agg(F.count("*").cast("long").alias("n"))
+    mrow = (
+        sums.crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda p: p["m"]).alias("mean_q"))
+    )
+    scored = q.crossJoin(F.broadcast(mrow)).select(
+        F.col("id"),
+        F.aggregate(
+            F.zip_with(
+                "q", "mean_q", lambda a, b: (a.cast("long") - b) * (a.cast("long") - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("outlier_score"),
+    )
+    return scored.orderBy(F.col("outlier_score").desc(), "id").limit(top_k)

@@ -334,3 +334,85 @@ def test_quantized_topk_plan_is_pure_codegen(spark, emb):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------- quantized outlier screen ----
+def _outliers_reference(rows, top_k):
+    """Independent pure-Python reference for quantized_outliers: own
+    quantization (math.floor round-half-up), exact integer dim sums,
+    integer-rounded mean, exact integer squared distance."""
+    import math
+
+    codes = {}
+    for vid, vec in rows:
+        amax = max(abs(float(x)) for x in vec)
+        if amax > 0:
+            codes[vid] = [
+                int(math.floor(float(x) * 127.0 / amax + 0.5)) for x in vec
+            ]
+        else:
+            codes[vid] = [0] * len(vec)
+    n = len(codes)
+    dim = len(next(iter(codes.values())))
+    mean_q = [
+        int(math.floor(sum(q[i] for q in codes.values()) / n + 0.5))
+        for i in range(dim)
+    ]
+    scored = sorted(
+        ((sum((q[i] - mean_q[i]) ** 2 for i in range(dim)), vid)
+         for vid, q in codes.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [(vid, s) for s, vid in scored[:top_k]]
+
+
+def test_quantized_outliers_matches_reference(spark, emb):
+    """On the mixed 3-cluster corpus the full top-k list (ids AND exact
+    integer scores) must equal the independent reference bit-for-bit."""
+    from mediacrawler_spark.operators.quantize import quantized_outliers
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    want = _outliers_reference(rows, top_k=5)
+    got = [
+        (r["id"], r["outlier_score"])
+        for r in quantized_outliers(emb, top_k=5).collect()
+    ]
+    assert got == want
+
+
+def test_quantized_outliers_flags_junk_in_tight_corpus(spark):
+    """On a tight single-direction corpus, a planted junk vector (one hot
+    dim orthogonal to the corpus direction — a classic mis-embedded blob)
+    must rank first, and the list must equal the independent reference."""
+    from mediacrawler_spark.operators.quantize import quantized_outliers
+
+    rng = np.random.RandomState(11)
+    center = rng.standard_normal(DIM) * 3
+    rows = [
+        (i, [float(x) for x in center + rng.standard_normal(DIM) * 0.05])
+        for i in range(60)
+    ]
+    rows.append((7777, [100.0] + [0.001] * (DIM - 1)))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = _outliers_reference(rows, top_k=5)
+    got = [
+        (r["id"], r["outlier_score"])
+        for r in quantized_outliers(corpus, top_k=5).collect()
+    ]
+    assert got == want
+    assert got[0][0] == 7777
+
+
+def test_quantized_outliers_plan_pure_codegen(spark, emb):
+    """quantize -> dim-sum agg -> broadcast mean -> score -> top-k is all
+    column expressions: no Python eval node anywhere in the plan."""
+    from mediacrawler_spark.operators.quantize import quantized_outliers
+
+    plan = (
+        quantized_outliers(emb, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
