@@ -562,6 +562,30 @@ def q_dedup_span_shared(spark, sf):
     return shared_ngram_stats(d, n=8).orderBy("doc_id")
 
 
+def q_dedup_span_remove(spark, sf):
+    """ExactSubstr-style duplicated-span REMOVAL (operators/corpus.py
+    remove_shared_spans): the edit pass behind dedup_span_shared's
+    measurement — every 8-gram occurrence whose gram appears in another
+    doc is cut from all docs except the gram's min-doc_id owner, and the
+    kept tokens are rejoined in order. The cleaned text is compared by
+    md5; counts/fraction are exact. The DuckDB oracle recomputes
+    ownership, coverage, and reconstruction from scratch."""
+    from mediacrawler_spark.operators.corpus import remove_shared_spans
+
+    d = _t(spark, sf, "documents")
+    return (
+        remove_shared_spans(d, n=8)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            "removed_frac",
+            F.md5(F.encode("clean_text", "utf-8")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_decontaminate_ngram(spark, sf):
     """Benchmark decontamination: corpus docs (doc_id % 37 != 0) sharing
     >= 1 distinct 4-gram with the held-out eval split (doc_id % 37 == 0).
@@ -1601,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lm_score": q_txt_lm_score,
         "txt_pii_scrub": q_txt_pii_scrub,
         "dedup_span_shared": q_dedup_span_shared,
+        "dedup_span_remove": q_dedup_span_remove,
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
         "txt_line_dedup": q_txt_line_dedup,
@@ -2280,6 +2305,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS shared_frac
             FROM g LEFT JOIN sh ON sh.doc_id = g.doc_id
             ORDER BY g.doc_id
+        """,
+        "dedup_span_remove": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), pg AS (
+              SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+                     toks[r.i] || ' ' || toks[r.i+1] || ' ' || toks[r.i+2] || ' '
+                       || toks[r.i+3] || ' ' || toks[r.i+4] || ' ' || toks[r.i+5]
+                       || ' ' || toks[r.i+6] || ' ' || toks[r.i+7] AS gram
+              FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS r(i)
+            ), gd AS (
+              SELECT gram, min(doc_id) AS owner,
+                     count(DISTINCT doc_id) AS nd
+              FROM pg GROUP BY gram
+            ), cov AS (
+              SELECT DISTINCT pg.doc_id, pg.pos + o.off AS p
+              FROM pg JOIN gd USING (gram),
+                   LATERAL unnest(range(0, 8)) AS o(off)
+              WHERE gd.nd >= 2 AND pg.doc_id <> gd.owner
+            ), tp AS (
+              SELECT doc_id, CAST(r.i AS BIGINT) AS p, toks[r.i] AS tok
+              FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)
+            ), kept AS (
+              SELECT tp.doc_id, tp.p, tp.tok
+              FROM tp ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+            ), clean AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id
+            ), nrm AS (
+              SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(nrm.n_removed, 0) AS BIGINT) AS n_removed,
+                   CASE WHEN len(toks) > 0
+                        THEN round(coalesce(nrm.n_removed, 0) * 1.0 / len(toks), 6)
+                        ELSE 0.0 END AS removed_frac,
+                   md5(coalesce(clean.clean_text, '')) AS clean_md5
+            FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN clean USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "decontaminate_ngram": r"""
             WITH t AS (

@@ -202,6 +202,7 @@ def main() -> None:
             "media_audio_energy",
             "frontier_host_skew",
             "embedding_outliers",
+            "dedup_span_remove",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -265,8 +266,9 @@ def main() -> None:
         # media_dedup_near; others unchanged); 19 = r05 (adds
         # dedup_containment, term_drift, media_audio_energy); 20 = r05
         # (adds frontier_host_skew; others unchanged); 21 = r05 (adds
-        # embedding_outliers; others unchanged).
-        "query_rev": 21,
+        # embedding_outliers; others unchanged); 22 = r05 (adds
+        # dedup_span_remove; others unchanged).
+        "query_rev": 22,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

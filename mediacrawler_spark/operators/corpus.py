@@ -666,3 +666,96 @@ def term_drift(
         .limit(top_k)
     )
     return top.crossJoin(F.broadcast(tv.select(tv_col)))
+
+
+def remove_shared_spans(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL — the edit pass behind
+    :func:`shared_ngram_stats`'s measurement (public pipelines measure
+    the duplicated-n-gram fraction, then CUT the duplicated spans and
+    keep the remainder; whole-doc dropping loses the unique tail of a
+    mostly-boilerplate page).
+
+    Rule (deterministic, engine-exact): a token position is removed iff
+    it is covered by some word n-gram occurrence whose gram also appears
+    in at least one OTHER document and this document is NOT the gram's
+    owner (owner = min ``id_col`` over containing docs — the first
+    occurrence keeps its text, every later doc loses it). Intra-doc
+    repeats with no cross-doc sharing are kept (that is the repetition
+    filter's job, :func:`top_ngram_fraction`). The cleaned text is the
+    kept tokens joined by single spaces in original order.
+
+    Returns (id_col, n_tokens, n_removed, removed_frac, clean_text) for
+    EVERY input doc (docs shorter than ``n`` tokens pass through whole).
+
+    Scale shape: positional grams are one row per token (same volume as
+    the stats op); gram ownership is ONE gram-keyed hash-agg with
+    map-side partial combine (hot boilerplate grams fan out across
+    partitions, never into a window); covered positions explode at most
+    n rows per duplicated occurrence; reconstruction is one id-keyed
+    agg whose group size is bounded by document length. No all-pairs,
+    no window over the corpus, no UDF anywhere.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    tok_tbl = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).persist()
+    pos_grams = tok_tbl.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    )
+    gram_docs = pos_grams.groupBy("gram").agg(
+        F.min("id").alias("owner"), F.countDistinct("id").alias("nd")
+    )
+    dup_occ = pos_grams.join(gram_docs.filter(F.col("nd") >= 2), "gram").filter(
+        F.col("id") != F.col("owner")
+    )
+    covered = dup_occ.select(
+        "id", F.explode(F.sequence(F.col("p0") + 1, F.col("p0") + n)).alias("p")
+    ).distinct()
+    toks_pos = tok_tbl.select(
+        "id", F.posexplode("toks").alias("pt", "tok")
+    ).select("id", (F.col("pt") + 1).alias("p"), "tok")
+    clean = (
+        toks_pos.join(covered, ["id", "p"], "left_anti")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("kept"))
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("kept", lambda s: s["tok"])
+            ).alias("clean_text"),
+        )
+    )
+    removed = covered.groupBy("id").agg(F.count("*").alias("n_removed"))
+    return (
+        tok_tbl.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(removed, "id", "left")
+        .join(clean, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("n_removed"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removed_frac"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -618,3 +618,86 @@ def test_shard_assign_plan_one_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------ shared-span REMOVAL ----
+def _remove_spans_reference(rows, n):
+    """Independent pure-Python reference for remove_shared_spans: own
+    tokenizer, own positional grams, own min-doc ownership rule."""
+    import re
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in rows
+    }
+    gram_occ, pos_grams = {}, {}
+    for i, ts in toks.items():
+        pg = []
+        for p in range(1, len(ts) - n + 2):
+            g = " ".join(ts[p - 1 : p - 1 + n])
+            pg.append((p, g))
+            gram_occ.setdefault(g, set()).add(i)
+        pos_grams[i] = pg
+    owner = {g: min(s) for g, s in gram_occ.items()}
+    out = {}
+    for i, ts in toks.items():
+        cov = set()
+        for p, g in pos_grams[i]:
+            if len(gram_occ[g]) >= 2 and owner[g] != i:
+                cov.update(range(p, p + n))
+        kept = [t for j, t in enumerate(ts, 1) if j not in cov]
+        frac = round(len(cov) / len(ts), 6) if ts else 0.0
+        out[i] = (len(ts), len(cov), frac, " ".join(kept))
+    return out
+
+
+def test_remove_shared_spans_matches_reference(spark):
+    """Owner doc keeps its boilerplate; every later doc loses exactly the
+    covered token span; unique and too-short docs pass through whole.
+    All columns (incl. the reconstructed clean text) equal the
+    independent reference exactly."""
+    from mediacrawler_spark.operators.corpus import remove_shared_spans
+
+    boiler = "terms of service apply to all content on this site"  # 10 toks
+    rows = [
+        (10, "alpha beta gamma " + boiler + " delta epsilon"),
+        (20, "zeta eta " + boiler + " theta iota kappa"),
+        (30, boiler + " and nothing else here today"),
+        (40, "completely unique document with no shared spans at all ok"),
+        (50, "short doc"),  # < n tokens: passes through whole
+        (60, ""),  # empty: 0 tokens, empty clean text
+    ]
+    want = _remove_spans_reference([(i, t) for i, t in rows], n=8)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["removed_frac"],
+            r["clean_text"],
+        )
+        for r in remove_shared_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=8
+        ).collect()
+    }
+    assert got == want
+    # semantic spot checks: owner (10) keeps everything, later docs lose
+    # the boilerplate span, unique/short/empty docs intact
+    assert got[10][1] == 0 and "terms of service" in got[10][3]
+    assert got[20][1] > 0 and "terms of service" not in got[20][3]
+    assert got[30][1] > 0
+    assert got[40][1] == 0 and got[50][1] == 0
+    assert got[60] == (0, 0, 0.0, "")
+
+
+def test_remove_shared_spans_no_python_eval(spark):
+    """The whole pipeline (tokenize, positional grams, ownership agg,
+    coverage, reconstruction) is column expressions — no Python eval
+    node in the physical plan."""
+    from mediacrawler_spark.operators.corpus import remove_shared_spans
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    plan = (
+        remove_shared_spans(df, n=8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
