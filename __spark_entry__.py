@@ -827,6 +827,21 @@ def q_corpus_pipeline(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_ts_gapfill_locf(spark, sf):
+    """Dense hourly rollup with last-observation-carried-forward
+    (operators/temporal.py gapfill_locf — the TimescaleDB
+    time_bucket_gapfill+locf primitive): per user, bucket-last value
+    under the (ts, event_id)-desc rule, empty buckets materialized
+    between each user's first and last active hour carrying the prior
+    value verbatim (no float arithmetic anywhere — bit-exact on any
+    engine). Oracle recomputes bucketing, the last-event rule, the
+    dense spine, and the carry from scratch in DuckDB."""
+    from mediacrawler_spark.operators.temporal import gapfill_locf
+
+    e = _t(spark, sf, "events")
+    return gapfill_locf(e, bucket_seconds=3600).orderBy("user_id", "bucket")
+
+
 def q_asof_join(spark, sf):
     """Event enrichment via as-of join: every 'error' event joined to the
     latest at-or-before 'click' of the same user (operators/temporal.py —
@@ -1636,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "shard_assign": q_shard_assign,
         "asof_join": q_asof_join,
+        "ts_gapfill_locf": q_ts_gapfill_locf,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2622,6 +2638,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "ts_gapfill_locf": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS us, value AS v,
+                     event_id AS tb, epoch_us(ts) // 3600000000 AS bucket
+              FROM events
+            ), r AS (
+              SELECT k, bucket, v,
+                     row_number() OVER (PARTITION BY k, bucket
+                                        ORDER BY us DESC, tb DESC) AS rn
+              FROM e
+            ), pb AS (
+              SELECT k, bucket, count(*) AS n_events FROM e GROUP BY k, bucket
+            ), lastv AS (
+              SELECT k, bucket, v AS last_v FROM r WHERE rn = 1
+            ), spine AS (
+              SELECT k, unnest(range(b0, b1 + 1)) AS bucket
+              FROM (SELECT k, min(bucket) AS b0, max(bucket) AS b1
+                    FROM e GROUP BY k)
+            )
+            SELECT s.k AS user_id,
+                   CAST(s.bucket AS BIGINT) AS bucket,
+                   CAST(coalesce(pb.n_events, 0) AS BIGINT) AS n_events,
+                   last_value(lastv.last_v IGNORE NULLS)
+                       OVER (PARTITION BY s.k ORDER BY s.bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS value_locf,
+                   CAST(CASE WHEN pb.n_events IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS filled
+            FROM spine s
+            LEFT JOIN pb ON pb.k = s.k AND pb.bucket = s.bucket
+            LEFT JOIN lastv ON lastv.k = s.k AND lastv.bucket = s.bucket
+            ORDER BY user_id, bucket
         """,
         "asof_join": """
             WITH errors AS (

@@ -203,6 +203,7 @@ def main() -> None:
             "frontier_host_skew",
             "embedding_outliers",
             "dedup_span_remove",
+            "ts_gapfill_locf",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -267,8 +268,9 @@ def main() -> None:
         # dedup_containment, term_drift, media_audio_energy); 20 = r05
         # (adds frontier_host_skew; others unchanged); 21 = r05 (adds
         # embedding_outliers; others unchanged); 22 = r05 (adds
-        # dedup_span_remove; others unchanged).
-        "query_rev": 22,
+        # dedup_span_remove; others unchanged); 23 = r05 (adds
+        # ts_gapfill_locf; others unchanged).
+        "query_rev": 23,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

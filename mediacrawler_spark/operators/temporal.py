@@ -242,3 +242,84 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Dense per-key time-bucket rollup with last-observation-carried-
+    forward — the TimescaleDB ``time_bucket_gapfill + locf`` primitive a
+    metrics/monitoring pipeline runs over an irregular event stream to
+    get a regular series (dashboard joins, drift baselines, training
+    labels at fixed cadence).
+
+    Per (key, bucket): ``n_events`` and the value of the LAST event in
+    the bucket (latest ``ts_col``, ties broken by ``tiebreak_col`` —
+    fully deterministic). Buckets with no events are materialized
+    densely between each key's first and last active bucket and carry
+    the previous bucket's value (``filled = 1``). The carried value is
+    copied verbatim — no float arithmetic anywhere, so any engine
+    reproduces the output bit-for-bit. ``bucket`` is the integer bucket
+    index ``unix_micros(ts) div (bucket_seconds * 10^6)`` (exact bigint
+    division; multiply back for the wall-clock edge).
+
+    Scale shape: one (key, bucket) hash-agg with map-side combine; one
+    tiny per-key min/max agg; the dense spine is generated DISTRIBUTED
+    (sequence-explode per key, never on the driver); one left join back
+    on (key, bucket); one per-key ordered window for the carry. The
+    window shares every keyed window's mega-group caveat — a key whose
+    dense bucket range exceeds a partition serializes that key only
+    (the spine is bounded by time range / bucket_seconds, not by event
+    count, so even a hot key's group is small at any event volume).
+    """
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        # parquet timestamps load as TIMESTAMP_NTZ; the session TZ is UTC
+        # (session.py) so the cast is the identity instant mapping and
+        # unix_micros matches DuckDB's epoch_us exactly.
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("_us"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).withColumn("bucket", F.expr(f"_us div {int(bucket_seconds) * 1_000_000}"))
+    per_bucket = (
+        ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("k", "bucket").orderBy(
+                    F.col("_us").desc(), F.col("_tb").desc()
+                )
+            ),
+        )
+        .groupBy("k", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(F.when(F.col("_rn") == 1, F.col("v"))).alias("last_v"),
+        )
+    )
+    spine = (
+        ev.groupBy("k")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select("k", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    carry = Window.partitionBy("k").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(per_bucket, ["k", "bucket"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(carry).alias("value_locf"),
+            F.when(F.col("n_events").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("filled"),
+        )
+    )

@@ -337,3 +337,83 @@ def test_range_join_plan_no_nested_loop(spark):
     out = range_join(p, i, "ts", "s", "e", bucket_width=10.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ----------------------------------------------------- gap-fill + LOCF ----
+def _gapfill_reference(rows, bucket_us):
+    """Independent pure-Python reference for gapfill_locf: own bucketing,
+    own last-event rule, own dense spine + carry."""
+    from collections import defaultdict
+
+    per = defaultdict(list)  # key -> [(us, tb, v)]
+    for k, us, v, tb in rows:
+        per[k].append((us, tb, v))
+    out = []
+    for k, evs in per.items():
+        by_bucket = defaultdict(list)
+        for us, tb, v in evs:
+            by_bucket[us // bucket_us].append((us, tb, v))
+        b0, b1 = min(by_bucket), max(by_bucket)
+        last_v = None
+        for b in range(b0, b1 + 1):
+            if b in by_bucket:
+                n = len(by_bucket[b])
+                last_v = max(by_bucket[b])[2]  # max (us, tb) tuple
+                out.append((k, b, n, last_v, 0))
+            else:
+                out.append((k, b, 0, last_v, 1))
+    return sorted(out)
+
+
+def test_gapfill_locf_matches_reference(spark):
+    """Dense spine per key, bucket-last value with (ts, tiebreak) rule,
+    carry through arbitrary-length gaps, per-key independent ranges —
+    all equal to the independent reference exactly (values are carried
+    verbatim: no float arithmetic to diverge)."""
+    from mediacrawler_spark.operators.temporal import gapfill_locf
+
+    B = 3_600_000_000  # 1h in micros
+    rows = [
+        # key 1: two events in bucket 0 (tiebreak decides), gap of 2, one more
+        (1, 100, 5.5, 1),
+        (1, 100, 7.25, 2),        # same us -> higher event_id wins
+        (1, 3 * B + 5, 9.0, 3),
+        # key 2: single event (spine is one bucket, no fill)
+        (2, 10 * B, 1.125, 4),
+        # key 3: later-ts beats higher event_id inside a bucket
+        (3, 2 * B + 50, 4.0, 9),
+        (3, 2 * B + 60, 6.0, 5),
+        (3, 4 * B, 8.0, 6),
+    ]
+    want = _gapfill_reference(rows, B)
+    df = spark.createDataFrame(
+        [
+            (tb, k, v, __import__("datetime").datetime(1970, 1, 1)
+             + __import__("datetime").timedelta(microseconds=us))
+            for k, us, v, tb in rows
+        ],
+        "event_id long, user_id long, value double, ts timestamp",
+    )
+    got = sorted(
+        (r["user_id"], r["bucket"], r["n_events"], r["value_locf"], r["filled"])
+        for r in gapfill_locf(df).collect()
+    )
+    assert got == want
+    # gap buckets are filled with the carried value and flagged
+    filled = [r for r in got if r[4] == 1]
+    assert len(filled) == 3  # key1: buckets 1,2; key3: bucket 3
+    assert all(r[2] == 0 and r[3] is not None for r in filled)
+
+
+def test_gapfill_locf_plan_no_python_and_single_agg_exchange(spark):
+    """Row-number window and the (key, bucket) agg share one exchange;
+    no Python eval node anywhere."""
+    from mediacrawler_spark.operators.temporal import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, datetime(2024, 1, 1))],
+        "event_id long, user_id long, value double, ts timestamp",
+    )
+    plan = gapfill_locf(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
