@@ -842,6 +842,22 @@ def q_ts_gapfill_locf(spark, sf):
     return gapfill_locf(e, bucket_seconds=3600).orderBy("user_id", "bucket")
 
 
+def q_ts_zscore_flags(spark, sf):
+    """Rolling z-score anomaly flags (operators/temporal.py
+    rolling_zscore_flags): each event scored against its 20 preceding
+    same-user events via the integer-cleared test
+    (n·x−S)² > k²(n·SS−S²) over exact cent bigints — flag bit-identical
+    on any engine; z² is one double division of two exact bigints.
+    Oracle recomputes the cents rule, the preceding frame, and the flag
+    algebra from scratch in DuckDB window functions."""
+    from mediacrawler_spark.operators.temporal import rolling_zscore_flags
+
+    e = _t(spark, sf, "events")
+    return rolling_zscore_flags(
+        e, window_rows=20, k=3, scale=100, min_periods=3
+    ).orderBy("event_id")
+
+
 def q_asof_join(spark, sf):
     """Event enrichment via as-of join: every 'error' event joined to the
     latest at-or-before 'click' of the same user (operators/temporal.py —
@@ -1652,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "asof_join": q_asof_join,
         "ts_gapfill_locf": q_ts_gapfill_locf,
+        "ts_zscore_flags": q_ts_zscore_flags,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2638,6 +2655,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "ts_zscore_flags": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events
+            ), s AS (
+              SELECT event_id, user_id, x,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     coalesce(sum(x) OVER w, 0) AS sm,
+                     coalesce(sum(x * x) OVER w, 0) AS ss
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, n AS n_window,
+                   CAST(CASE WHEN n >= 3 AND
+                             (n*x - sm)*(n*x - sm) > 9 * (n*ss - sm*sm)
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_outlier,
+                   CASE WHEN n >= 3 AND (n*ss - sm*sm) > 0
+                        THEN round(((n*x - sm)*(n*x - sm)) * 1.0
+                                   / (n * (n*ss - sm*sm)), 6)
+                        END AS z2
+            FROM s ORDER BY event_id
         """,
         "ts_gapfill_locf": """
             WITH e AS (

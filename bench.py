@@ -204,6 +204,7 @@ def main() -> None:
             "embedding_outliers",
             "dedup_span_remove",
             "ts_gapfill_locf",
+            "ts_zscore_flags",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -269,8 +270,9 @@ def main() -> None:
         # (adds frontier_host_skew; others unchanged); 21 = r05 (adds
         # embedding_outliers; others unchanged); 22 = r05 (adds
         # dedup_span_remove; others unchanged); 23 = r05 (adds
-        # ts_gapfill_locf; others unchanged).
-        "query_rev": 23,
+        # ts_gapfill_locf; others unchanged); 24 = r05 (adds
+        # ts_zscore_flags; others unchanged).
+        "query_rev": 24,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

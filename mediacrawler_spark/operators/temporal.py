@@ -323,3 +323,82 @@ def gapfill_locf(
             .alias("filled"),
         )
     )
+
+
+def rolling_zscore_flags(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 20,
+    k: int = 3,
+    scale: int = 100,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags, INTEGER-EXACT — the spike
+    detector a metrics pipeline runs over an event stream (fraud blips,
+    scraper bursts, sensor faults) without ever trusting float-sum
+    ordering.
+
+    Each event is scored against the PRECEDING ``window_rows`` events of
+    the same key (itself excluded — a spike inside its own baseline
+    inflates the variance and caps z² at n-1, which makes k ≥ √(n-1)
+    unreachable; ordering is ``ts_col`` then ``id_col`` — fully
+    deterministic). The classic test |x - mean| > k·stddev is
+    algebraically cleared of divisions and square roots:
+
+        flag  iff  (n·x - S)²  >  k² · (n·SS - S²)
+
+    with x the value in integer ``scale``-ths (cents by default,
+    ``floor(v·scale + 0.5)`` — the same round-half-up rule the int8
+    quantizer pins), S = Σx, SS = Σx² over the preceding window — every
+    term an exact bigint, so the flag is bit-identical on any engine
+    and any partitioning. (Population variance; n·Var = n·SS - S² ≥ 0
+    always.) Events with fewer than ``min_periods`` preceding rows are
+    warmup: flag 0, z2 NULL. The reported ``z2`` =
+    (n·x - S)² / (n·(n·SS - S²)) — z² itself — is ONE IEEE double
+    division of two exact bigints, rounded 6dp; NULL when the baseline
+    variance is 0 (the flag is still exact there: any nonzero deviation
+    from a zero-variance baseline flags).
+
+    Scale shape: ONE exchange on the key, one per-key sort shared by
+    both window sums (same frame) — the same minimal keyed-window plan
+    as asof_join, with the same mega-key caveat. No joins, no UDF.
+    """
+    xc = F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    base = events.select(
+        F.col(id_col), F.col(key_col), F.col(ts_col), xc.alias("_x")
+    )
+    stats = base.select(
+        id_col,
+        key_col,
+        "_x",
+        F.count("*").over(w).cast("long").alias("_n"),
+        F.sum("_x").over(w).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_ss"),
+    )
+    num = (F.col("_n") * F.col("_x") - F.col("_s")) * (
+        F.col("_n") * F.col("_x") - F.col("_s")
+    )
+    nvar = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    warm = F.col("_n") >= int(min_periods)
+    return stats.select(
+        id_col,
+        key_col,
+        F.col("_n").alias("n_window"),
+        F.when(warm, (num > F.lit(int(k) * int(k)) * nvar).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("is_outlier"),
+        F.when(
+            warm & (nvar > 0),
+            F.round(num.cast("double") / (F.col("_n") * nvar).cast("double"), 6),
+        ).alias("z2"),
+    )

@@ -417,3 +417,85 @@ def test_gapfill_locf_plan_no_python_and_single_agg_exchange(spark):
     plan = gapfill_locf(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+# --------------------------------------------- rolling z-score flags ----
+def _zscore_reference(rows, window_rows, k, scale, min_periods):
+    """Independent pure-Python reference: own cents rule, own PRECEDING
+    window, own integer flag algebra (exact Python ints throughout)."""
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for eid, key, us, v in rows:
+        per[key].append((us, eid, v))
+    out = {}
+    for key, evs in per.items():
+        evs.sort()
+        xs = [int(math.floor(v * scale + 0.5)) for _, _, v in evs]
+        for i, (us, eid, _) in enumerate(evs):
+            lo = max(0, i - window_rows)
+            win = xs[lo:i]  # preceding rows only, current excluded
+            n, s, ss, x = len(win), sum(win), sum(t * t for t in win), xs[i]
+            if n < min_periods:
+                out[eid] = (key, n, 0, None)
+                continue
+            num = (n * x - s) ** 2
+            nvar = n * ss - s * s
+            flag = 1 if num > k * k * nvar else 0
+            z2 = round(num / (n * nvar), 6) if nvar > 0 else None
+            out[eid] = (key, n, flag, z2)
+    return out
+
+
+def test_rolling_zscore_matches_reference_and_flags_spike(spark):
+    """A planted 100x spike flags against its preceding baseline; steady
+    traffic does not; warmup events (fewer than min_periods preceding)
+    never flag; zero-variance baselines yield NULL z2 but an exact flag.
+    Full row set equals the independent integer reference."""
+    from mediacrawler_spark.operators.temporal import rolling_zscore_flags
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []  # (event_id, user_id, us, value)
+    # user 1: steady alternating 5.00/5.01 then a 500.00 spike then steady
+    for i in range(12):
+        v = 500.0 if i == 8 else 5.0 + (i % 2) * 0.01
+        rows.append((i, 1, i * 1_000_000, v))
+    # user 2: constant values -> zero variance, never flags, z2 NULL
+    for i in range(6):
+        rows.append((100 + i, 2, i * 1_000_000, 7.25))
+    want = _zscore_reference(rows, window_rows=5, k=2, scale=100, min_periods=3)
+    df = spark.createDataFrame(
+        [
+            (eid, key, base + timedelta(microseconds=us), v)
+            for eid, key, us, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["n_window"], r["is_outlier"], r["z2"])
+        for r in rolling_zscore_flags(df, window_rows=5, k=2).collect()
+    }
+    assert got == want
+    assert got[8][2] == 1                      # the spike flags
+    assert all(got[i][2] == 0 for i in range(8))   # steady prefix doesn't
+    # constant-value user: zero-variance baseline, never flags, NULL z2
+    assert all(got[100 + i] == (2, min(i, 5), 0, None) for i in range(6))
+
+
+def test_rolling_zscore_single_exchange_no_python(spark):
+    """One exchange on the key, both window sums share the sort, no
+    Python eval node."""
+    from mediacrawler_spark.operators.temporal import rolling_zscore_flags
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    plan = (
+        rolling_zscore_flags(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
