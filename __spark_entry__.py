@@ -858,6 +858,22 @@ def q_ts_zscore_flags(spark, sf):
     ).orderBy("event_id")
 
 
+def q_ts_time_weighted_avg(spark, sf):
+    """Per-user hourly TIME-WEIGHTED average of the LOCF step function
+    (operators/temporal.py time_weighted_avg — TimescaleDB's
+    time_weight('LOCF')): each event's value holds until the next
+    same-user event (final event to its bucket end), segments split at
+    bucket boundaries, Σ(value_cents·micros) and Σmicros exact bigints,
+    one double division (descaled, 6dp). Oracle rebuilds segments,
+    splitting, and the exact sums from scratch in DuckDB."""
+    from mediacrawler_spark.operators.temporal import time_weighted_avg
+
+    e = _t(spark, sf, "events")
+    return time_weighted_avg(e, bucket_seconds=3600).orderBy(
+        "user_id", "bucket"
+    )
+
+
 def q_asof_join(spark, sf):
     """Event enrichment via as-of join: every 'error' event joined to the
     latest at-or-before 'click' of the same user (operators/temporal.py —
@@ -1669,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "ts_gapfill_locf": q_ts_gapfill_locf,
         "ts_zscore_flags": q_ts_zscore_flags,
+        "ts_time_weighted_avg": q_ts_time_weighted_avg,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2655,6 +2672,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "ts_time_weighted_avg": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS us, event_id AS tb,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events
+            ), seg AS (
+              SELECT k, v, us AS s,
+                     coalesce(lead(us) OVER (PARTITION BY k ORDER BY us, tb),
+                              (us // 3600000000 + 1) * 3600000000) AS e
+              FROM e
+            ), expl AS (
+              SELECT k, v, s, e, r.b AS bucket
+              FROM seg, LATERAL unnest(range(s // 3600000000,
+                                             (e - 1) // 3600000000 + 1)) AS r(b)
+              WHERE e > s
+            ), cl AS (
+              SELECT k, bucket, v,
+                     least(e, (bucket + 1) * 3600000000)
+                       - greatest(s, bucket * 3600000000) AS w
+              FROM expl
+            )
+            SELECT k AS user_id, CAST(bucket AS BIGINT) AS bucket,
+                   round(sum(v * w) * 1.0 / sum(w) / 100, 6) AS twa_value,
+                   CAST(sum(w) AS BIGINT) AS covered_us
+            FROM cl GROUP BY k, bucket ORDER BY user_id, bucket
         """,
         "ts_zscore_flags": """
             WITH e AS (

@@ -499,3 +499,93 @@ def test_rolling_zscore_single_exchange_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------- time-weighted average ----
+def _twa_reference(rows, bucket_us, scale):
+    """Independent pure-Python reference for time_weighted_avg: own
+    segment construction, own bucket splitting, exact int arithmetic."""
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for eid, key, us, v in rows:
+        per[key].append((us, eid, int(math.floor(v * scale + 0.5))))
+    agg = defaultdict(lambda: [0, 0])  # (key, bucket) -> [num, den]
+    for key, evs in per.items():
+        evs.sort()
+        for i, (us, _, vc) in enumerate(evs):
+            end = (
+                evs[i + 1][0]
+                if i + 1 < len(evs)
+                else (us // bucket_us + 1) * bucket_us
+            )
+            t = us
+            while t < end:
+                b = t // bucket_us
+                e = min(end, (b + 1) * bucket_us)
+                agg[(key, b)][0] += vc * (e - t)
+                agg[(key, b)][1] += e - t
+                t = e
+    return sorted(
+        (k, b, round(num / den / scale, 6), den)
+        for (k, b), (num, den) in agg.items()
+        if den > 0
+    )
+
+
+def test_time_weighted_avg_matches_reference(spark):
+    """Mid-bucket starts, multi-bucket holds, same-micro duplicate events
+    (zero-length segments vanish), single-event keys holding to their
+    bucket end — all equal the independent exact-integer reference."""
+    from mediacrawler_spark.operators.temporal import time_weighted_avg
+    from datetime import datetime, timedelta
+
+    H = 3_600_000_000
+    base = datetime(2024, 1, 1)
+    rows = [  # (event_id, key, us, value)
+        (1, 1, H // 2, 2.0),          # holds 0.5h..0.75h in bucket 0
+        (2, 1, 3 * H // 4, 4.0),      # holds 0.75h..2.25h across buckets 0-2
+        (3, 1, 2 * H + H // 4, 6.0),  # holds 2.25h..3h (end of bucket 2)
+        (4, 2, 10 * H + 1, 7.77),     # single event: holds to bucket end
+        (5, 3, H, 1.0),               # duplicate micros: zero-length segment
+        (6, 3, H, 3.0),               # (id 6 wins ordering) holds the bucket
+    ]
+    want = _twa_reference(rows, H, 100)
+    df = spark.createDataFrame(
+        [
+            (eid, k, base + timedelta(microseconds=us), v)
+            for eid, k, us, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = sorted(
+        (r["user_id"], r["bucket"], r["twa_value"], r["covered_us"])
+        for r in time_weighted_avg(df).collect()
+    )
+    # buckets are epoch-hour indexed: shift reference (base is epoch-aligned
+    # to 2024-01-01, itself a whole number of hours since 1970)
+    offset = int(
+        (datetime(2024, 1, 1) - datetime(1970, 1, 1)).total_seconds() * 1e6
+    ) // H
+    want = sorted((k, b + offset, v, d) for k, b, v, d in want)
+    assert got == want
+    by_kb = {(k, b - offset): (v, d) for k, b, v, d in got}
+    assert by_kb[(1, 0)] == (3.0, H // 2)       # (200*.25 + 400*.25)/.5h
+    assert by_kb[(1, 1)] == (4.0, H)            # full bucket at 4.00
+    assert by_kb[(1, 2)] == (5.5, H)            # 400*.25 + 600*.75
+    assert by_kb[(2, 10)][1] == H - 1           # holds to its bucket end
+    assert by_kb[(3, 1)] == (3.0, H)            # duplicate-micro loser vanished
+
+
+def test_time_weighted_avg_plan_no_python(spark):
+    from mediacrawler_spark.operators.temporal import time_weighted_avg
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    plan = time_weighted_avg(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
