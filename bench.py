@@ -205,6 +205,7 @@ def main() -> None:
             "dedup_span_remove",
             "ts_gapfill_locf",
             "ts_zscore_flags",
+            "ts_time_weighted_avg",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -271,8 +272,9 @@ def main() -> None:
         # embedding_outliers; others unchanged); 22 = r05 (adds
         # dedup_span_remove; others unchanged); 23 = r05 (adds
         # ts_gapfill_locf; others unchanged); 24 = r05 (adds
-        # ts_zscore_flags; others unchanged).
-        "query_rev": 24,
+        # ts_zscore_flags; others unchanged); 25 = r05 (adds
+        # ts_time_weighted_avg; others unchanged).
+        "query_rev": 25,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
