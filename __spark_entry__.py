@@ -874,6 +874,19 @@ def q_ts_time_weighted_avg(spark, sf):
     )
 
 
+def q_funnel_conversion(spark, sf):
+    """Ordered funnel view→click→purchase per user
+    (operators/temporal.py funnel_stages): t1 = min view micros, each
+    later stage the min micros of its type strictly after the previous
+    stage — plain bigint mins, no tiebreak machinery, bit-identical on
+    any engine. Oracle recomputes the stage chain in DuckDB from
+    scratch."""
+    from mediacrawler_spark.operators.temporal import funnel_stages
+
+    e = _t(spark, sf, "events")
+    return funnel_stages(e, ["view", "click", "purchase"]).orderBy("user_id")
+
+
 def q_asof_join(spark, sf):
     """Event enrichment via as-of join: every 'error' event joined to the
     latest at-or-before 'click' of the same user (operators/temporal.py —
@@ -1686,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill_locf": q_ts_gapfill_locf,
         "ts_zscore_flags": q_ts_zscore_flags,
         "ts_time_weighted_avg": q_ts_time_weighted_avg,
+        "funnel_conversion": q_funnel_conversion,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2672,6 +2686,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "funnel_conversion": """
+            WITH e AS (
+              SELECT user_id AS k, event_type AS t, epoch_us(ts) AS us
+              FROM events
+            ), s1 AS (
+              SELECT k, min(CASE WHEN t = 'view' THEN us END) AS t1
+              FROM e GROUP BY k
+            ), s2 AS (
+              SELECT e.k, min(e.us) AS t2
+              FROM e JOIN s1 ON s1.k = e.k
+              WHERE e.t = 'click' AND e.us > s1.t1
+              GROUP BY e.k
+            ), s3 AS (
+              SELECT e.k, min(e.us) AS t3
+              FROM e JOIN s2 ON s2.k = e.k
+              WHERE e.t = 'purchase' AND e.us > s2.t2
+              GROUP BY e.k
+            )
+            SELECT s1.k AS user_id,
+                   CAST(s1.t1 AS BIGINT) AS t1_us,
+                   CAST(s2.t2 AS BIGINT) AS t2_us,
+                   CAST(s3.t3 AS BIGINT) AS t3_us,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2
+                             WHEN s1.t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS INTEGER) AS max_stage
+            FROM s1 LEFT JOIN s2 ON s2.k = s1.k
+                    LEFT JOIN s3 ON s3.k = s1.k
+            ORDER BY user_id
         """,
         "ts_time_weighted_avg": """
             WITH e AS (

@@ -206,6 +206,7 @@ def main() -> None:
             "ts_gapfill_locf",
             "ts_zscore_flags",
             "ts_time_weighted_avg",
+            "funnel_conversion",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -273,8 +274,9 @@ def main() -> None:
         # dedup_span_remove; others unchanged); 23 = r05 (adds
         # ts_gapfill_locf; others unchanged); 24 = r05 (adds
         # ts_zscore_flags; others unchanged); 25 = r05 (adds
-        # ts_time_weighted_avg; others unchanged).
-        "query_rev": 25,
+        # ts_time_weighted_avg; others unchanged); 26 = r05 (adds
+        # funnel_conversion; others unchanged).
+        "query_rev": 26,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

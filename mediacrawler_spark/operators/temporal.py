@@ -496,3 +496,63 @@ def time_weighted_avg(
             F.col("_den").cast("bigint").alias("covered_us"),
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel progression per key — the conversion query every
+    event-analytics engine ships (view → click → purchase): for each
+    key, the earliest time each step completes given that every prior
+    step completed STRICTLY earlier.
+
+    Rule: ``t(1)`` = min event micros of ``steps[0]``; ``t(i)`` = min
+    micros of a ``steps[i]`` event with micros strictly greater than
+    ``t(i-1)``. Strict means strictly later MICROSECOND — two steps in
+    the same microsecond do not chain (the tie has no defensible order;
+    excluding it keeps every value a plain bigint ``min`` and therefore
+    bit-identical on any engine with no tiebreak machinery).
+    ``max_stage`` counts completed steps (0 = key never did step 1).
+    Every distinct key in the input gets a row.
+
+    Scale shape: stage 1 folds into ONE conditional hash-agg over all
+    events (map-side combine); each later stage is one equi-join of the
+    events of that step's type against the (key → t) table — all keyed
+    by ``key_col``, so AQE coalesces them onto one partitioning; no
+    window, no sort, no UDF. Funnel depth is len(steps) joins — a
+    constant. Hot keys fan out in the aggs, never into a window.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel_stages needs at least one step")
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    ev = events.select(
+        F.col(key_col).alias("k"), F.col(type_col).alias("t"), us.alias("us")
+    )
+    cur = ev.groupBy("k").agg(
+        F.min(F.when(F.col("t") == steps[0], F.col("us"))).alias("t1")
+    )
+    stage_cols = ["t1"]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = stage_cols[-1]
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(cur.select("k", *stage_cols), "k")
+            .filter(F.col("us") > F.col(prev))
+            .groupBy("k")
+            .agg(F.min("us").alias(f"t{i}"))
+            .select("k", f"t{i}")
+        )
+        cur = cur.join(nxt, "k", "left")
+        stage_cols.append(f"t{i}")
+    max_stage = F.lit(0)
+    for i, c in enumerate(stage_cols, start=1):
+        max_stage = F.when(F.col(c).isNotNull(), F.lit(i)).otherwise(max_stage)
+    return cur.select(
+        F.col("k").alias(key_col),
+        *[F.col(c).cast("bigint").alias(f"{c}_us") for c in stage_cols],
+        max_stage.cast("int").alias("max_stage"),
+    )

@@ -589,3 +589,100 @@ def test_time_weighted_avg_plan_no_python(spark):
     plan = time_weighted_avg(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+# ----------------------------------------------------- funnel stages ----
+def _funnel_reference(rows, steps):
+    """Independent reference: per key, t1 = min us of step1; t_i = min us
+    of step_i strictly after t_{i-1}."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for key, typ, us in rows:
+        per[key].append((typ, us))
+    out = {}
+    for key, evs in per.items():
+        ts = []
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [
+                us
+                for typ, us in evs
+                if typ == step and (i == 0 or (prev is not None and us > prev))
+            ]
+            cur = min(cand) if cand else None
+            ts.append(cur)
+            prev = cur
+            if cur is None:
+                ts.extend([None] * (len(steps) - i - 1))
+                break
+        stage = 0
+        for i, t in enumerate(ts, 1):
+            if t is not None:
+                stage = i
+        out[key] = tuple(ts) + (stage,)
+    return out
+
+
+def test_funnel_stages_matches_reference(spark):
+    """Full conversion, out-of-order steps, same-microsecond non-chains,
+    repeat events (earliest qualifying wins), keys missing step 1 —
+    all equal to the independent reference."""
+    from mediacrawler_spark.operators.temporal import funnel_stages
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [  # (key, type, us)
+        # key 1: clean full funnel with a later repeat of each step
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (1, "view", 150), (1, "click", 250),
+        # key 2: click BEFORE view -> click never counts, stage stops at 1
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 200),
+        # key 3: same-microsecond view+click -> strictness breaks the chain
+        (3, "view", 500), (3, "click", 500), (3, "purchase", 700),
+        # key 4: no view at all -> stage 0, all NULL
+        (4, "click", 10), (4, "purchase", 20),
+        # key 5: view then click, no purchase -> stage 2
+        (5, "view", 1), (5, "click", 2), (5, "error", 3),
+    ]
+    steps = ["view", "click", "purchase"]
+    want = _funnel_reference(rows, steps)
+    df = spark.createDataFrame(
+        [
+            (k, t, base + timedelta(microseconds=us))
+            for k, t, us in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    off = int((base - datetime(1970, 1, 1)).total_seconds() * 1e6)
+    got = {
+        r["user_id"]: (
+            None if r["t1_us"] is None else r["t1_us"] - off,
+            None if r["t2_us"] is None else r["t2_us"] - off,
+            None if r["t3_us"] is None else r["t3_us"] - off,
+            r["max_stage"],
+        )
+        for r in funnel_stages(df, steps).collect()
+    }
+    assert got == want
+    assert got[1] == (100, 200, 300, 3)
+    assert got[2] == (100, None, None, 1)   # pre-view click ignored
+    assert got[3] == (500, None, None, 1)   # same-micro does not chain
+    assert got[4] == (None, None, None, 0)
+    assert got[5] == (1, 2, None, 2)
+
+
+def test_funnel_stages_plan_no_window_no_python(spark):
+    from mediacrawler_spark.operators.temporal import funnel_stages
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, "view", datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    plan = (
+        funnel_stages(df, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan and "Cartesian" not in plan
