@@ -874,6 +874,40 @@ def q_ts_time_weighted_avg(spark, sf):
     )
 
 
+def q_graph_triangles(spark, sf):
+    """Per-node triangle counts (operators/graph.py triangle_counts,
+    degree-ordered node-iterator — Suri & Vassilvitskii WWW'11) over the
+    same clickstream page graph as graph_pagerank. The DuckDB oracle is
+    an INDEPENDENT algorithm: the classic three-way edge self-join
+    enumeration (a<b<c), no orientation anywhere. Exact bigint counts."""
+    from mediacrawler_spark.operators.graph import triangle_counts
+
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nav = e.select("user_id", "ts", "event_id", page.alias("page")).withColumn(
+        "prev", F.lag("page").over(w)
+    )
+    edges = nav.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("page"))
+    ).select(F.col("prev").alias("src"), F.col("page").alias("dst"))
+    return triangle_counts(edges).orderBy("node")
+
+
+def q_retention_cohorts(spark, sf):
+    """Weekly retention triangle (operators/temporal.py
+    retention_cohorts): users grouped by first-activity 7-day period,
+    distinct-counted in every period they return — pure integer
+    day/period division, exact bigint counts. Oracle recomputes the
+    cohort assignment and offsets from scratch."""
+    from mediacrawler_spark.operators.temporal import retention_cohorts
+
+    e = _t(spark, sf, "events")
+    return retention_cohorts(e, period_days=7).orderBy(
+        "cohort_period", "period_offset"
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel view→click→purchase per user
     (operators/temporal.py funnel_stages): t1 = min view micros, each
@@ -1700,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore_flags": q_ts_zscore_flags,
         "ts_time_weighted_avg": q_ts_time_weighted_avg,
         "funnel_conversion": q_funnel_conversion,
+        "graph_triangles": q_graph_triangles,
+        "retention_cohorts": q_retention_cohorts,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2686,6 +2722,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "graph_triangles": r"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+              FROM events
+            ), nav AS (
+              SELECT page,
+                     lag(page) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev
+              FROM e
+            ), und AS (
+              SELECT DISTINCT least(prev, page) AS a, greatest(prev, page) AS b
+              FROM nav WHERE prev IS NOT NULL AND prev <> page
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node ORDER BY node
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS k,
+                     (epoch_us(ts) // 86400000000) // 7 AS p
+              FROM events
+            ), first AS (
+              SELECT k, min(p) AS p0 FROM act GROUP BY k
+            )
+            SELECT CAST(first.p0 AS BIGINT) AS cohort_period,
+                   CAST(act.p - first.p0 AS BIGINT) AS period_offset,
+                   CAST(count(DISTINCT act.k) AS BIGINT) AS n_users
+            FROM act JOIN first ON first.k = act.k
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "funnel_conversion": """
             WITH e AS (

@@ -207,6 +207,8 @@ def main() -> None:
             "ts_zscore_flags",
             "ts_time_weighted_avg",
             "funnel_conversion",
+            "graph_triangles",
+            "retention_cohorts",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -275,8 +277,9 @@ def main() -> None:
         # ts_gapfill_locf; others unchanged); 24 = r05 (adds
         # ts_zscore_flags; others unchanged); 25 = r05 (adds
         # ts_time_weighted_avg; others unchanged); 26 = r05 (adds
-        # funnel_conversion; others unchanged).
-        "query_rev": 26,
+        # funnel_conversion; others unchanged); 27 = r05 (adds
+        # graph_triangles, retention_cohorts; others unchanged).
+        "query_rev": 27,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -178,3 +178,55 @@ def test_pagerank_overflow_guard(spark):
         from mediacrawler_spark.operators.graph import pagerank as pr
 
         pr(df, scale=2**62)
+
+
+# ---------------------------------------------------- triangle counts ----
+def _tri_reference(edge_list):
+    """Independent brute force: enumerate ALL node triples over the
+    cleaned undirected edge set."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    per = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in und) and ((x, z) in und) and ((y, z) in und):
+            for n in (x, y, z):
+                per[n] = per.get(n, 0) + 1
+    return per
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """K4 block (every node in 3 triangles), a hub star (zero triangles
+    despite high degree), a pendant triangle, duplicate + reversed +
+    self-loop edges — per-node counts equal the all-triples brute force."""
+    from mediacrawler_spark.operators.graph import triangle_counts
+
+    edges = (
+        # K4 on 1-4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        # hub 100 with leaves (star: no triangles)
+        + [(100, i) for i in range(200, 212)]
+        # pendant triangle hanging off the hub
+        + [(100, 50), (50, 51), (51, 100)]
+        # noise: duplicates, reversals, self loop
+        + [(2, 1), (3, 1), (7, 7), (1, 2)]
+    )
+    want = _tri_reference(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
+    assert got[1] == got[2] == got[3] == got[4] == 3  # K4
+    assert got[100] == 1 and got[50] == 1 and got[51] == 1
+    assert 200 not in got  # star leaves: no triangles
+
+
+def test_triangle_counts_plan_no_python(spark):
+    from mediacrawler_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan

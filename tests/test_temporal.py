@@ -686,3 +686,41 @@ def test_funnel_stages_plan_no_window_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+# -------------------------------------------------- retention cohorts ----
+def test_retention_cohorts_matches_reference(spark):
+    """Cohorts by first-activity period, offsets by pure integer day/period
+    division; offset-0 equals cohort size; distinct-user counting (repeat
+    events in one period count once)."""
+    from mediacrawler_spark.operators.temporal import retention_cohorts
+    from datetime import datetime, timedelta
+
+    D = 86_400_000_000
+    base = datetime(1970, 1, 1)
+    rows = [  # (user, day)
+        # cohort period 0 (days 0-6): users 1,2
+        (1, 0), (1, 1), (1, 8), (1, 8), (1, 15),   # offsets 0,0,1,1(dup),2
+        (2, 3), (2, 20),                            # offsets 0, 2
+        # cohort period 1 (days 7-13): user 3
+        (3, 9), (3, 10), (3, 16),                   # offsets 0,0,1
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, base + timedelta(microseconds=d * D + 123))
+            for u, d in rows
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    want = {
+        (0, 0): 2,  # users 1,2
+        (0, 1): 1,  # user 1 (day 8)
+        (0, 2): 2,  # user 1 (day 15), user 2 (day 20)
+        (1, 0): 1,  # user 3
+        (1, 1): 1,  # user 3 (day 16)
+    }
+    assert got == want
