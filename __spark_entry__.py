@@ -874,6 +874,22 @@ def q_ts_time_weighted_avg(spark, sf):
     )
 
 
+def q_pmi_collocations(spark, sf):
+    """Document-level collocation mining (operators/corpus.py
+    pmi_collocations): top-50 vocab term pairs by lift =
+    n_ab·N/(n_a·n_b) — exact bigint products, ONE double division,
+    6dp; vocabulary capped at the 2000 most-frequent terms with df≥5
+    (broadcast — pair fan-out bounded per doc, never a corpus
+    self-join). Oracle recomputes df, the vocab cut, the pair
+    enumeration, and lift from scratch in DuckDB."""
+    from mediacrawler_spark.operators.corpus import pmi_collocations
+
+    d = _t(spark, sf, "documents")
+    return pmi_collocations(
+        d, min_df=5, max_vocab=2000, min_pair=3, top_k=50
+    )
+
+
 def q_graph_triangles(spark, sf):
     """Per-node triangle counts (operators/graph.py triangle_counts,
     degree-ordered node-iterator — Suri & Vassilvitskii WWW'11) over the
@@ -1735,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_time_weighted_avg": q_ts_time_weighted_avg,
         "funnel_conversion": q_funnel_conversion,
         "graph_triangles": q_graph_triangles,
+        "pmi_collocations": q_pmi_collocations,
         "retention_cohorts": q_retention_cohorts,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
@@ -2722,6 +2739,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "pmi_collocations": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(text),
+                                   '[^\p{L}\p{N}]+'), x -> x <> ''))) AS ts
+              FROM documents
+            ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            dfreq AS (
+              SELECT u.term, CAST(count(*) AS BIGINT) AS df
+              FROM t, LATERAL unnest(ts) AS u(term) GROUP BY u.term
+            ), vocab AS (
+              SELECT term, df FROM dfreq WHERE df >= 5
+              ORDER BY df DESC, term ASC LIMIT 2000
+            ), kept AS (
+              SELECT t.doc_id, u.term
+              FROM t, LATERAL unnest(ts) AS u(term)
+              WHERE u.term IN (SELECT term FROM vocab)
+            ), pairs AS (
+              SELECT k1.term AS term_a, k2.term AS term_b
+              FROM kept k1 JOIN kept k2
+                ON k1.doc_id = k2.doc_id AND k1.term < k2.term
+            ), pc AS (
+              SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM pairs GROUP BY term_a, term_b HAVING count(*) >= 3
+            )
+            SELECT pc.term_a, pc.term_b, pc.n_ab,
+                   va.df AS n_a, vb.df AS n_b,
+                   round((pc.n_ab * n.n_docs) * 1.0 / (va.df * vb.df), 6)
+                     AS lift
+            FROM pc
+            JOIN vocab va ON va.term = pc.term_a
+            JOIN vocab vb ON vb.term = pc.term_b, n
+            ORDER BY lift DESC, term_a, term_b LIMIT 50
         """,
         "graph_triangles": r"""
             WITH e AS (

@@ -209,6 +209,7 @@ def main() -> None:
             "funnel_conversion",
             "graph_triangles",
             "retention_cohorts",
+            "pmi_collocations",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -278,8 +279,9 @@ def main() -> None:
         # ts_zscore_flags; others unchanged); 25 = r05 (adds
         # ts_time_weighted_avg; others unchanged); 26 = r05 (adds
         # funnel_conversion; others unchanged); 27 = r05 (adds
-        # graph_triangles, retention_cohorts; others unchanged).
-        "query_rev": 27,
+        # graph_triangles, retention_cohorts; others unchanged); 28 =
+        # r05 (adds pmi_collocations; others unchanged).
+        "query_rev": 28,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -759,3 +759,96 @@ def remove_shared_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_vocab: int = 2000,
+    min_pair: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-level collocation mining — term pairs that co-occur in
+    documents far more than chance (PMI/lift), the phrase-detection and
+    topic-seed primitive of corpus analysis.
+
+    Co-occurrence is at DOCUMENT granularity over distinct terms. The
+    quadratic pair fan-out is bounded up front: the vocabulary is the
+    ``max_vocab`` terms with doc-frequency ≥ ``min_df`` (ordered df
+    desc, term asc — deterministic), broadcast as a set, and each doc
+    contributes pairs only over its vocab terms (≤ C(|vocab ∩ doc|, 2),
+    in practice tiny). Lift = n_ab·N / (n_a·n_b) — two exact bigint
+    products (n ≤ 10^6 vocab df ⇒ products < 2^63 at any corpus size up
+    to N ~ 9·10^12 docs) in ONE double division, rounded 6dp; ranking
+    is lift desc then pair asc, so ties are engine-independent.
+
+    Scale shape: one term df hash-agg, the vocab broadcast back (top-k
+    on it is driver-side small), per-doc pair generation as pure array
+    HOFs (sorted kept-term array → index-pair flatten — no UDF), one
+    pair-keyed hash-agg with map-side combine, two small equi-joins to
+    attach n_a/n_b, TakeOrderedAndProject. No self-join of the corpus.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    n_docs = docs.select(id_col).distinct().count()
+    per_doc = docs.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("ts"),
+    )
+    dfreq = per_doc.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    vocab = (
+        dfreq.filter(F.col("df") >= int(min_df))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(int(max_vocab))
+    )
+    kept = per_doc.crossJoin(
+        F.broadcast(vocab.agg(F.collect_set("term").alias("vs")))
+    ).select(
+        id_col,
+        F.array_sort(
+            F.filter("ts", lambda t: F.array_contains(F.col("vs"), t))
+        ).alias("kt"),
+    )
+    pairs = kept.filter(F.size("kt") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("kt") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("kt")),
+                        lambda j: F.struct(
+                            F.element_at("kt", i).alias("a"),
+                            F.element_at("kt", j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    pc = pairs.groupBy("term_a", "term_b").agg(
+        F.count("*").cast("long").alias("n_ab")
+    ).filter(F.col("n_ab") >= int(min_pair))
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("n_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    return (
+        pc.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "term_a", "term_b")
+        .limit(int(top_k))
+    )

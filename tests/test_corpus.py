@@ -701,3 +701,86 @@ def test_remove_shared_spans_no_python_eval(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+# ---------------------------------------------------- PMI collocations ----
+def _pmi_reference(rows, min_df, max_vocab, min_pair, top_k):
+    """Independent reference: own tokenizer, own vocab cut, own pair
+    enumeration, exact int lift numerators."""
+    import re
+    from itertools import combinations
+
+    toks = {
+        i: sorted({t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t})
+        for i, txt in rows
+    }
+    n_docs = len(toks)
+    df = {}
+    for ts in toks.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    vocab = sorted(
+        (t for t in df if df[t] >= min_df), key=lambda t: (-df[t], t)
+    )[:max_vocab]
+    vs = set(vocab)
+    pc = {}
+    for ts in toks.values():
+        kt = [t for t in ts if t in vs]
+        for a, b in combinations(kt, 2):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    out = [
+        (a, b, n, df[a], df[b], round(n * n_docs / (df[a] * df[b]), 6))
+        for (a, b), n in pc.items()
+        if n >= min_pair
+    ]
+    out.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return out[:top_k]
+
+
+def test_pmi_collocations_matches_reference(spark):
+    """Planted collocation (two rare terms always together -> max lift),
+    anti-collocation (never together -> absent), frequent-everywhere
+    terms (lift ~1), min_df/min_pair cuts — equal to the independent
+    reference including exact counts and 6dp lift."""
+    from mediacrawler_spark.operators.corpus import pmi_collocations
+
+    rows = []
+    for i in range(40):
+        parts = ["common filler words here"]
+        if i % 4 == 0:
+            parts.append("quantum entanglement")  # planted collocation
+        if i % 2 == 0:
+            parts.append("alpha")
+        else:
+            parts.append("beta")  # alpha/beta never co-occur
+        if i < 3:
+            parts.append("rareword")  # below min_df
+        rows.append((i, " ".join(parts)))
+    args = dict(min_df=4, max_vocab=100, min_pair=3, top_k=20)
+    want = _pmi_reference(rows, **args)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["term_a"], r["term_b"], r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+        for r in pmi_collocations(df, **args).collect()
+    ]
+    assert got == want
+    top = got[0]
+    assert {top[0], top[1]} == {"quantum", "entanglement"} and top[5] == 4.0
+    assert not any({g[0], g[1]} == {"alpha", "beta"} for g in got)
+    assert not any("rareword" in (g[0], g[1]) for g in got)
+
+
+def test_pmi_collocations_no_corpus_self_join(spark):
+    """Pair generation is array HOFs per doc — no Python eval and no
+    corpus-vs-corpus join (only broadcast vocab joins)."""
+    from mediacrawler_spark.operators.corpus import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "w x y z") for i in range(8)], ["doc_id", "text"]
+    )
+    plan = (
+        pmi_collocations(df, min_df=2, min_pair=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
