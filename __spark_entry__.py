@@ -874,6 +874,30 @@ def q_ts_time_weighted_avg(spark, sf):
     )
 
 
+def q_dedup_edit_distance(spark, sf):
+    """Fuzzy title dedup: all distinct 24-char text-prefix pairs within
+    Levenshtein distance 2 (operators/text_dedup.py edit_distance_pairs
+    — Ed-Join q-gram prefix filtering + bounded short pool, exact
+    levenshtein verify; both engines' levenshtein is the standard
+    unit-cost DP). The DuckDB oracle is the INDEPENDENT quadratic
+    algorithm: literal all-pairs levenshtein over the distinct values."""
+    from mediacrawler_spark.operators.text_dedup import edit_distance_pairs
+
+    d = _t(spark, sf, "documents")
+    # deterministic typo corpus (both engines apply the same rule): every
+    # third doc's title loses its 3rd character — a deletion-typo family
+    # one edit from its base title (the raw prefixes are word salad with
+    # min inter-value distance 4, so without this the result is empty).
+    title = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.substring("text", 1, 2), F.substring("text", 4, 21)),
+    ).otherwise(F.substring("text", 1, 24))
+    titles = d.filter(F.col("text").isNotNull()).select(title.alias("title"))
+    return edit_distance_pairs(titles, "title", max_dist=2, q=2).orderBy(
+        "val_a", "val_b"
+    )
+
+
 def q_pmi_collocations(spark, sf):
     """Document-level collocation mining (operators/corpus.py
     pmi_collocations): top-50 vocab term pairs by lift =
@@ -1752,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "graph_triangles": q_graph_triangles,
         "pmi_collocations": q_pmi_collocations,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "retention_cohorts": q_retention_cohorts,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
@@ -2739,6 +2764,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dl AS BIGINT) AS dl
             FROM per, stats
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "dedup_edit_distance": """
+            WITH vals AS (
+              SELECT CASE WHEN doc_id % 3 = 0
+                          THEN substr(text, 1, 2) || substr(text, 4, 21)
+                          ELSE substr(text, 1, 24) END AS v,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents WHERE text IS NOT NULL GROUP BY 1
+            )
+            SELECT a.v AS val_a, b.v AS val_b,
+                   CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM vals a JOIN vals b ON a.v < b.v
+            WHERE levenshtein(a.v, b.v) <= 2
+            ORDER BY val_a, val_b
         """,
         "pmi_collocations": r"""
             WITH t AS (

@@ -210,6 +210,7 @@ def main() -> None:
             "graph_triangles",
             "retention_cohorts",
             "pmi_collocations",
+            "dedup_edit_distance",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -280,8 +281,9 @@ def main() -> None:
         # ts_time_weighted_avg; others unchanged); 26 = r05 (adds
         # funnel_conversion; others unchanged); 27 = r05 (adds
         # graph_triangles, retention_cohorts; others unchanged); 28 =
-        # r05 (adds pmi_collocations; others unchanged).
-        "query_rev": 28,
+        # r05 (adds pmi_collocations; others unchanged); 29 = r05 (adds
+        # dedup_edit_distance; others unchanged).
+        "query_rev": 29,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

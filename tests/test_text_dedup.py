@@ -148,3 +148,94 @@ def test_jaccard_join_exact_at_low_threshold(spark):
     assert got == want
     assert len(want) >= 66  # the 12-doc clique alone
     assert not any("z01" in p or "z02" in p for p in got)
+
+
+# ------------------------------------------------- edit-distance pairs ----
+def _ed_reference(strings, k):
+    """Independent brute force: own DP Levenshtein over all value pairs."""
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    from collections import Counter
+
+    cnt = Counter(strings)
+    vals = sorted(cnt)
+    out = set()
+    for i, a in enumerate(vals):
+        for b in vals[i + 1 :]:
+            d = lev(a, b)
+            if d <= k:
+                out.add((a, b, d, cnt[a], cnt[b]))
+    return out
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Typo families (substitution / insertion / deletion / multi-edit at
+    the boundary), duplicates collapsing to one value row with counts,
+    short strings under q, and far strings — all pairs equal the
+    independent DP brute force."""
+    from mediacrawler_spark.operators.text_dedup import edit_distance_pairs
+
+    strings = (
+        ["the quick brown fox"] * 3
+        + ["the quick brwon fox"]      # 2 (transposition = sub+sub)
+        + ["the quick brown fx"]       # 1 deletion
+        + ["the quickk brown fox"]     # 1 insertion
+        + ["a completely different one"]
+        + ["xy", "xz", "x", "yy"]      # short strings incl. < q
+        + ["the quick brown foxes jumped"]  # > k away
+    )
+    want = _ed_reference(strings, k=2)
+    df = spark.createDataFrame([(s,) for s in strings], ["title"])
+    got = {
+        (r["val_a"], r["val_b"], r["dist"], r["n_a"], r["n_b"])
+        for r in edit_distance_pairs(df, "title", max_dist=2, q=2).collect()
+    }
+    assert got == want
+    assert ("the quick brown fox", "the quick brwon fox", 2, 3, 1) in got
+    assert ("x", "xy", 1, 1, 1) in got and ("xy", "xz", 1, 1, 1) in got
+
+
+def test_edit_distance_pairs_randomized_complete(spark):
+    """Seeded random mutations of base strings: the prefix-filter join
+    must find EVERY within-k pair the brute force finds (completeness
+    of the q-gram prefix lemma), at k=1 and k=2."""
+    from mediacrawler_spark.operators.text_dedup import edit_distance_pairs
+
+    def rng(i):
+        return (i * 1103515245 + 12345) % (2**31)
+
+    alpha = "abcdefgh"
+    bases = ["".join(alpha[rng(b * 97 + j) % 8] for j in range(14)) for b in range(6)]
+    strings = []
+    for i in range(120):
+        s = list(bases[rng(i) % 6])
+        for e in range(rng(i * 3 + 1) % 3):  # 0-2 random edits
+            p = rng(i * 7 + e) % len(s)
+            op = rng(i * 11 + e) % 3
+            if op == 0:
+                s[p] = alpha[rng(i * 13 + e) % 8]
+            elif op == 1:
+                s.insert(p, alpha[rng(i * 17 + e) % 8])
+            elif len(s) > 2:
+                del s[p]
+        strings.append("".join(s))
+    df = spark.createDataFrame([(s,) for s in strings], ["title"])
+    for k in (1, 2):
+        want = _ed_reference(strings, k)
+        got = {
+            (r["val_a"], r["val_b"], r["dist"], r["n_a"], r["n_b"])
+            for r in edit_distance_pairs(df, "title", max_dist=k, q=2).collect()
+        }
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
