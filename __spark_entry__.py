@@ -1437,6 +1437,59 @@ def q_media_frame_sample(spark, sf):
     ).orderBy("media_ref", "frame_idx")
 
 
+def q_media_scene_changes(spark, sf):
+    """Scene-boundary detection (operators/media.py scene_changes) over
+    the frame-sample plumbing: per sampled frame a deterministic
+    60-bit perceptual-hash stand-in — the md5-derived scene base
+    (frame_idx div 90, i.e. 3s shots) XOR a 1-bit alternating jitter —
+    so intra-scene hamming is exactly 1 (never cuts at threshold 2)
+    and scene boundaries land ~30 bits (always cut). hamming/is_cut/
+    scene_id are bit_count(xor) + an exact 0/1 prefix sum. The oracle
+    recomputes the hash synthesis, lag hamming, and running scene
+    counter in DuckDB."""
+    from mediacrawler_spark.operators.media import (
+        _fake_decode,
+        decode_media,
+        sample_frames,
+        scene_changes,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.concat(F.lit("blob:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("media_type"),
+        F.encode(F.col("doc_id").cast("string"), "utf-8").alias("data"),
+    )
+    frames = sample_frames(decode_media(media, decoder=_fake_decode), every_n=30)
+    hashed = frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("media_ref"),
+                            F.expr("cast(frame_idx as bigint) div 90").cast(
+                                "string"
+                            ),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            .bitwiseXOR(F.expr("(cast(frame_idx as bigint) div 30) % 2"))
+        ).alias("frame_hash"),
+    )
+    return scene_changes(hashed, max_same_scene_hamming=2).orderBy(
+        "media_ref", "frame_idx"
+    )
+
+
 def q_media_audio_energy(spark, sf):
     """Audio quality-filter stats (operators/media.py audio_energy — the
     silence/clipping pass a training pipeline runs before keeping a
@@ -1805,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_audio_energy": q_media_audio_energy,
         "media_frame_sample": q_media_frame_sample,
+        "media_scene_changes": q_media_scene_changes,
         "media_dedup": q_media_dedup,
         "media_dedup_near": q_media_dedup_near,
     }
@@ -3321,6 +3375,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN media_type = 'video'
                                  THEN 1 + h % 300 ELSE 1 END) AS BIGINT) AS frames
             FROM m GROUP BY media_type ORDER BY media_type
+        """,
+        "media_scene_changes": """
+            WITH m AS (
+              SELECT 'blob:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     list_sum(list_transform(
+                         range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                         i -> ascii(substring(CAST(doc_id AS VARCHAR), i, 1)))) AS h
+              FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+            fr AS (
+              SELECT media_ref, CAST(f.i AS BIGINT) AS frame_idx
+              FROM m, LATERAL unnest(range(0, CAST(1 + h % 300 AS BIGINT), 30))
+                   AS f(i)),
+            hs AS (
+              SELECT media_ref, frame_idx,
+                     xor(CAST(CONCAT('0x', substr(md5(media_ref || ':'
+                             || CAST(frame_idx // 90 AS VARCHAR)), 1, 15))
+                           AS BIGINT),
+                         (frame_idx // 30) % 2) AS frame_hash
+              FROM fr),
+            lagd AS (
+              SELECT media_ref, frame_idx, frame_hash,
+                     lag(frame_hash) OVER (PARTITION BY media_ref
+                                           ORDER BY frame_idx) AS prev
+              FROM hs),
+            cuts AS (
+              SELECT media_ref, frame_idx, frame_hash,
+                     CASE WHEN prev IS NULL THEN NULL
+                          ELSE bit_count(xor(frame_hash, prev)) END AS hamming,
+                     CASE WHEN prev IS NOT NULL
+                               AND bit_count(xor(frame_hash, prev)) > 2
+                          THEN 1 ELSE 0 END AS cut
+              FROM lagd)
+            SELECT media_ref, frame_idx, frame_hash,
+                   CAST(hamming AS INTEGER) AS hamming,
+                   CAST(cut AS INTEGER) AS is_cut,
+                   CAST(1 + sum(cut) OVER (PARTITION BY media_ref
+                        ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS scene_id
+            FROM cuts ORDER BY media_ref, frame_idx
         """,
         "media_frame_sample": """
             WITH m AS (

@@ -211,6 +211,7 @@ def main() -> None:
             "retention_cohorts",
             "pmi_collocations",
             "dedup_edit_distance",
+            "media_scene_changes",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -282,8 +283,9 @@ def main() -> None:
         # funnel_conversion; others unchanged); 27 = r05 (adds
         # graph_triangles, retention_cohorts; others unchanged); 28 =
         # r05 (adds pmi_collocations; others unchanged); 29 = r05 (adds
-        # dedup_edit_distance; others unchanged).
-        "query_rev": 29,
+        # dedup_edit_distance; others unchanged); 30 = r05 (adds
+        # media_scene_changes; others unchanged).
+        "query_rev": 30,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -27,7 +27,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -669,4 +669,56 @@ def audio_energy(
         silence_n.alias("silence_n"),
         clip_n.alias("clip_n"),
         ratio.alias("silence_ratio"),
+    )
+
+
+def scene_changes(
+    frames: DataFrame,
+    video_col: str = "media_ref",
+    idx_col: str = "frame_idx",
+    hash_col: str = "frame_hash",
+    max_same_scene_hamming: int = 2,
+) -> DataFrame:
+    """Scene-boundary detection over per-frame perceptual hashes — the
+    shot-segmentation pass a video training pipeline runs after frame
+    sampling (keyframe selection, per-scene captioning, dedup of static
+    shots). A frame starts a new scene when its hash differs from the
+    previous sampled frame's by MORE than ``max_same_scene_hamming``
+    bits (aHash-style hashes move a few bits under noise/compression
+    within a shot and many bits across a cut).
+
+    Input: one row per (video, sampled frame) with an integer
+    perceptual hash — in production the aHash of the decoded frame
+    (``block_features`` → the exact-integer bit rule, same as image
+    dedup); any bigint hash column works. The first sampled frame of a
+    video always opens scene 1. Output: every frame row plus
+    ``hamming`` (vs previous frame, NULL on the first), ``is_cut``
+    (int 0/1), and ``scene_id`` (1-based running cut count — an exact
+    integer prefix sum). All arithmetic is ``bit_count(xor)`` and a
+    running sum of 0/1 — bit-identical on any engine.
+
+    Scale shape: ONE exchange on the video key; both windows (lag +
+    running sum) share the per-video sort; no joins, no UDF. Frame
+    counts per video are bounded by duration/sample-rate, so per-key
+    groups stay small at any corpus size.
+    """
+    w = Window.partitionBy(video_col).orderBy(F.col(idx_col).asc())
+    prev = F.lag(hash_col).over(w)
+    ham = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col(hash_col).bitwiseXOR(prev)),
+    ).cast("int")
+    cut = F.when(
+        ham.isNotNull() & (ham > int(max_same_scene_hamming)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(video_col).orderBy(F.col(idx_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return frames.select(
+        video_col,
+        idx_col,
+        hash_col,
+        ham.alias("hamming"),
+        cut.cast("int").alias("is_cut"),
+        (F.sum(cut).over(run) + F.lit(1)).cast("bigint").alias("scene_id"),
     )

@@ -157,3 +157,72 @@ def test_ahash_near_pairs_null_hash_ignored(spark):
     hashed = spark.createDataFrame([(1,), (3,), (None,)], "ahash bigint")
     rows = ahash_near_pairs(hashed, max_hamming=2).collect()
     assert {(r["hash_a"], r["hash_b"], r["hamming"]) for r in rows} == {(1, 3, 1)}
+
+
+# ----------------------------------------------------- scene changes ----
+def _scene_reference(rows, thr):
+    """Independent reference: own hamming + running scene counter."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for vid, idx, h in rows:
+        per[vid].append((idx, h))
+    out = {}
+    for vid, fr in per.items():
+        fr.sort()
+        prev = None
+        scene = 1
+        for idx, h in fr:
+            if prev is None:
+                ham, cut = None, 0
+            else:
+                ham = bin(h ^ prev).count("1")
+                cut = 1 if ham > thr else 0
+            scene += cut
+            out[(vid, idx)] = (ham, cut, scene)
+            prev = h
+    return out
+
+
+def test_scene_changes_matches_reference(spark):
+    """Within-scene jitter (<= threshold bits) never cuts; hard jumps
+    do; scene_id is the running cut prefix sum; first frame of every
+    video opens scene 1. Exact equality with the independent
+    reference."""
+    from mediacrawler_spark.operators.media import scene_changes
+
+    rows = [  # (video, frame_idx, hash)
+        # video A: scene 0xFF00 with 1-2 bit jitter, cut to 0x00FF, jitter
+        ("a", 0, 0xFF00), ("a", 30, 0xFF01), ("a", 60, 0xFF03),
+        ("a", 90, 0x00FF), ("a", 120, 0x00FE),
+        # back to a third scene
+        ("a", 150, 0xF0F0),
+        # video B: single frame
+        ("b", 0, 0x1234),
+        # video C: every frame a hard cut
+        ("c", 0, 0x0000), ("c", 30, 0xFFFF), ("c", 60, 0x0000),
+    ]
+    want = _scene_reference(rows, thr=2)
+    df = spark.createDataFrame(rows, "media_ref string, frame_idx long, frame_hash long")
+    got = {
+        (r["media_ref"], r["frame_idx"]): (r["hamming"], r["is_cut"], r["scene_id"])
+        for r in scene_changes(df, max_same_scene_hamming=2).collect()
+    }
+    assert got == want
+    assert got[("a", 0)] == (None, 0, 1)
+    assert got[("a", 60)][1] == 0          # 2-bit jitter: same scene
+    assert got[("a", 90)][1] == 1          # hard cut
+    assert got[("a", 150)][2] == 3         # third scene
+    assert got[("b", 0)] == (None, 0, 1)
+    assert got[("c", 60)] == (16, 1, 3)
+
+
+def test_scene_changes_single_exchange(spark):
+    from mediacrawler_spark.operators.media import scene_changes
+
+    df = spark.createDataFrame(
+        [("a", 0, 1)], "media_ref string, frame_idx long, frame_hash long"
+    )
+    plan = scene_changes(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
