@@ -61,10 +61,27 @@ def main() -> None:
         hi["inrun"] = mon_hi.stats()
         calib2 = host_calibration()
         eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
-        inband = all(
-            arm["inrun"]["med"] is not None
-            and arm["inrun"]["med"] <= gate * IN_ARM_MED_FACTOR
-            for arm in (lo, hi)
+        # Pre-registered rule change (2026-08-20, before accepting any
+        # sample under it): the in-arm single-core probe is only applied
+        # to the LO arm. Rationale, from the first three monitored
+        # cluster samples: during the 4x4-core HI arm the probe reads
+        # med 0.24-0.27 REGARDLESS of window (the arm's own 16 pinned
+        # cores contend with the probe thread), so a hi-side band at
+        # 1.5x gate is physically unattainable — it was calibrated for
+        # the 2/8-THREAD pair runner. Direction-of-bias argument: a
+        # co-tenant burst inside the HI arm can only slow it, i.e. bias
+        # efficiency DOWN (cannot manufacture a false PASS), and the
+        # boundary probes still bracket it; a burst inside the LO arm
+        # biases efficiency UP — exactly what the lo-arm med/p90/max
+        # caps below reject (sample 05:56 UTC: lo med healthy but one
+        # 1.11s probe spike -> eff 0.963 overstated -> rejected by the
+        # max cap).
+        li = lo["inrun"]
+        inband = (
+            li["med"] is not None
+            and li["med"] <= gate * IN_ARM_MED_FACTOR
+            and li["p90"] <= gate * 2.0
+            and li["max"] <= gate * 3.0
         )
         sample = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
