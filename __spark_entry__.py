@@ -948,6 +948,46 @@ def q_retention_cohorts(spark, sf):
     )
 
 
+def q_olap_topk_revenue(spark, sf):
+    """Classic 3-table OLAP join (TPC-H Q3 shape): segment-filtered
+    customers (BROADCAST — the small dim never shuffles the fact
+    tables), date-filtered orders ⋈ lineitem on orderkey, top-10 open
+    orders by revenue. Revenue is INTEGER-EXACT: price cents and
+    discount percent via the round-half-up rule, revenue_cp =
+    Σ cents·(100−pct) an exact bigint (ordering key), the 2dp display
+    value one double division. Oracle recomputes everything in DuckDB."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        l.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents * (F.lit(100) - pct)).alias("revenue_cp"))
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.col("revenue_cp").cast("bigint").alias("revenue_cp"),
+            F.round(F.col("revenue_cp").cast("double") / 10000.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue_cp").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel view→click→purchase per user
     (operators/temporal.py funnel_stages): t1 = min view micros, each
@@ -1827,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore_flags": q_ts_zscore_flags,
         "ts_time_weighted_avg": q_ts_time_weighted_avg,
         "funnel_conversion": q_funnel_conversion,
+        "olap_topk_revenue": q_olap_topk_revenue,
         "graph_triangles": q_graph_triangles,
         "pmi_collocations": q_pmi_collocations,
         "dedup_edit_distance": q_dedup_edit_distance,
@@ -2908,6 +2949,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT act.k) AS BIGINT) AS n_users
             FROM act JOIN first ON first.k = act.k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "olap_topk_revenue": """
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS revenue_cp,
+                   round(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                             * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                           AS BIGINT))) / 10000.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cp DESC, o_orderkey LIMIT 10
         """,
         "funnel_conversion": """
             WITH e AS (

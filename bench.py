@@ -212,6 +212,7 @@ def main() -> None:
             "pmi_collocations",
             "dedup_edit_distance",
             "media_scene_changes",
+            "olap_topk_revenue",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -284,8 +285,9 @@ def main() -> None:
         # graph_triangles, retention_cohorts; others unchanged); 28 =
         # r05 (adds pmi_collocations; others unchanged); 29 = r05 (adds
         # dedup_edit_distance; others unchanged); 30 = r05 (adds
-        # media_scene_changes; others unchanged).
-        "query_rev": 30,
+        # media_scene_changes; others unchanged); 31 = r05 (adds
+        # olap_topk_revenue; others unchanged).
+        "query_rev": 31,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
