@@ -893,7 +893,13 @@ def q_dedup_edit_distance(spark, sf):
         F.concat(F.substring("text", 1, 2), F.substring("text", 4, 21)),
     ).otherwise(F.substring("text", 1, 24))
     titles = d.filter(F.col("text").isNotNull()).select(title.alias("title"))
-    return edit_distance_pairs(titles, "title", max_dist=2, q=2).orderBy(
+    # q=3, not 2: output is q-invariant (exact verify) but candidate cost
+    # is not — the bigram universe over [a-z ] is ~27^2, so at 100k
+    # distinct values the rarest-gram buckets hold O(n/sigma^2) values and
+    # the gram self-join goes quadratic (61s at sf0.1); trigrams give a
+    # ~27^3 universe and the same 128 pairs in 2.9s. Lemma needs
+    # length >= q(k+1) = 9 — 23/24-char titles clear it everywhere.
+    return edit_distance_pairs(titles, "title", max_dist=2, q=3).orderBy(
         "val_a", "val_b"
     )
 

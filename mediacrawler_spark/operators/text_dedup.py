@@ -650,6 +650,14 @@ def edit_distance_pairs(
     ``levenshtein() <= max_dist`` verify (built-in on both engines —
     the oracle compares the same distances).
 
+    Choosing ``q``: the output is q-invariant (exact verify) but the
+    candidate count is Θ(Σ_g c_g²) over gram buckets, and buckets scale
+    like n/σ^q for alphabet size σ — q must keep the gram universe large
+    relative to the distinct-value count or the join goes quadratic
+    (measured on 100k 24-char values: q=2 → 61s, q=3 → 2.9s, same
+    pairs). Use the largest q the value length comfortably supports
+    (lemma below needs length ≥ q·(max_dist+1)).
+
     The prefix lemma needs more than ``max_dist·q`` distinct grams, so
     values shorter than ``q·(max_dist+1)`` can't rely on gram overlap at
     all (two length-2 strings one edit apart can share ZERO bigrams).
