@@ -702,6 +702,15 @@ def edit_distance_pairs(
         .filter(F.col("rk") <= k * q + 1)
         .select("v", "g")
     )
+    # The gram index is tiny in BYTES (a few MB) but the gram-bucket
+    # self-join below fans out quadratically in bucket size — sized by
+    # its OUTPUT, not its input. AQE coalesce (and the broadcast-join
+    # planner) only see the input size, and collapse the join to one
+    # task (measured 15x at 100k values). A user-specified partition
+    # count is exempt from AQE coalescing, so pin the probe side to the
+    # session's shuffle parallelism explicitly.
+    n_part = int(ranked.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranked = ranked.repartition(n_part, "g")
     cand_l = (
         ranked.alias("l")
         .join(ranked.alias("r"), "g")
