@@ -1531,8 +1531,14 @@ def q_media_scene_changes(spark, sf):
             .bitwiseXOR(F.expr("(cast(frame_idx as bigint) div 30) % 2"))
         ).alias("frame_hash"),
     )
-    return scene_changes(hashed, max_same_scene_hamming=2).orderBy(
-        "media_ref", "frame_idx"
+    # hamming carries a NULL on each video's first frame; pandas renders a
+    # NULL-bearing int column as float64 on the DuckDB side, so surface it
+    # as double on BOTH engines to keep the driver's dtype rendering
+    # aligned (the operator itself keeps the honest int type).
+    return (
+        scene_changes(hashed, max_same_scene_hamming=2)
+        .withColumn("hamming", F.col("hamming").cast("double"))
+        .orderBy("media_ref", "frame_idx")
     )
 
 
@@ -3474,7 +3480,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS cut
               FROM lagd)
             SELECT media_ref, frame_idx, frame_hash,
-                   CAST(hamming AS INTEGER) AS hamming,
+                   CAST(hamming AS DOUBLE) AS hamming,
                    CAST(cut AS INTEGER) AS is_cut,
                    CAST(1 + sum(cut) OVER (PARTITION BY media_ref
                         ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING
