@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mediacrawler_spark.operators.fanout import pin_parallelism
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) -> edges (v, m(u)) for v in N(u), v > u, with
@@ -252,7 +254,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     o2 = oriented.select(
         F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
     )
-    wedges = oriented.join(o2, "u").filter(
+    # fan-out join: the wedge fan-out is O(√m) per node while the edge
+    # frame is tiny in bytes — pin its parallelism (see fanout.py)
+    wedges = pin_parallelism(oriented, "u").join(o2, "u").filter(
         F.struct("dv", "v") < F.struct("dw", "w")
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))

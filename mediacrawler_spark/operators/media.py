@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mediacrawler_spark.operators.fanout import pin_parallelism
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
@@ -438,7 +440,9 @@ def ahash_near_pairs(
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    a, b = cand.alias("a"), cand.alias("b")
+    # fan-out join: pin the probe side's parallelism (see fanout.py)
+    a = pin_parallelism(cand, "chunk_id", "chunk_val").alias("a")
+    b = cand.alias("b")
     pairs = (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("a.ahash") < F.col("b.ahash"))

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mediacrawler_spark.operators.fanout import pin_parallelism
 from pyspark.sql import Window as W
 
 
@@ -143,8 +145,15 @@ def cosine_near_dup_pairs(
         F.coalesce(bucket(F.col(vec_col)), F.lit(-1)).alias("bucket"),
     ).persist()
     sig = _cap_buckets(sig, ["bucket"], max_bucket)
-    a = sig.select(
-        "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    # fan-out join: pin the probe side's parallelism (see fanout.py)
+    a = pin_parallelism(
+        sig.select(
+            "bucket",
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        ),
+        "bucket",
     )
     b = sig.select(
         "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.functions.textual import doc_fingerprint, tokens, word_shingles
+from mediacrawler_spark.operators.fanout import pin_parallelism
 
 
 # ---------------------------------------------------------------- exact ----
@@ -155,7 +156,12 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket)
-    a = buckets.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
+    # fan-out join: pin the probe side's parallelism (see fanout.py)
+    a = pin_parallelism(
+        buckets.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a")),
+        "band",
+        "bh",
+    )
     b = buckets.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
     cand = (
         a.join(b, on=["band", "bh"])
@@ -391,7 +397,13 @@ def _pigeonhole_value_pairs(
             )
         )
     allb = reduce(DataFrame.unionByName, parts)
-    a = allb.select("lvl", "branch", "mval", F.col("simhash").alias("va"))
+    # fan-out join: pin the probe side's parallelism (see fanout.py)
+    a = pin_parallelism(
+        allb.select("lvl", "branch", "mval", F.col("simhash").alias("va")),
+        "lvl",
+        "branch",
+        "mval",
+    )
     b = allb.select("lvl", "branch", "mval", F.col("simhash").alias("vb"))
     return (
         a.join(b, on=["lvl", "branch", "mval"])
@@ -702,15 +714,10 @@ def edit_distance_pairs(
         .filter(F.col("rk") <= k * q + 1)
         .select("v", "g")
     )
-    # The gram index is tiny in BYTES (a few MB) but the gram-bucket
-    # self-join below fans out quadratically in bucket size — sized by
-    # its OUTPUT, not its input. AQE coalesce (and the broadcast-join
-    # planner) only see the input size, and collapse the join to one
-    # task (measured 15x at 100k values). A user-specified partition
-    # count is exempt from AQE coalescing, so pin the probe side to the
-    # session's shuffle parallelism explicitly.
-    n_part = int(ranked.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranked = ranked.repartition(n_part, "g")
+    # fan-out join: the gram index is a few MB but the candidate join is
+    # quadratic in bucket size — pin its parallelism (see fanout.py;
+    # measured 15x here at 100k values).
+    ranked = pin_parallelism(ranked, "g")
     cand_l = (
         ranked.alias("l")
         .join(ranked.alias("r"), "g")
