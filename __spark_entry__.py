@@ -904,6 +904,36 @@ def q_dedup_edit_distance(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Batch-vs-corpus admission dedup (operators/text_dedup.py
+    dedup_incremental): docs with doc_id % 4 == 0 arrive as the epoch's
+    incoming batch and are classified against the rest as the base
+    corpus — 'exact' (normalized-fingerprint match), 'near' (exact
+    3-shingle Jaccard >= 0.8 with some base doc, LSH-candidated with
+    the cap lifted as in dedup_clusters), else 'unique'; match_id is
+    the smallest matching base id (-1 sentinel for unique, kept a
+    non-null bigint). The corpus plants near-dups but no byte-identical
+    groups, so the batch also carries deterministic RE-FETCHES — every
+    base doc with doc_id % 10 == 1 re-arrives under id+1,000,000 with
+    identical text (the re-crawled-page case) — exercising all three
+    statuses. The DuckDB oracle recomputes normalization equality and
+    the exact cross-frame Jaccard all-pairs — fully independent of the
+    LSH candidate path."""
+    from mediacrawler_spark.operators.text_dedup import dedup_incremental
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    refetch = base.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    inc = d.filter(F.col("doc_id") % 4 == 0).unionByName(refetch)
+    return dedup_incremental(
+        base, inc, threshold=0.8, max_bucket=1 << 20
+    ).orderBy("doc_id")
+
+
 def q_pmi_collocations(spark, sf):
     """Document-level collocation mining (operators/corpus.py
     pmi_collocations): top-50 vocab term pairs by lift =
@@ -1881,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "olap_topk_revenue": q_olap_topk_revenue,
         "graph_triangles": q_graph_triangles,
+        "dedup_incremental": q_dedup_incremental,
         "pmi_collocations": q_pmi_collocations,
         "dedup_edit_distance": q_dedup_edit_distance,
         "retention_cohorts": q_retention_cohorts,
@@ -3155,6 +3186,53 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the exact semantic answer (true Jaccard / identical
         # token sets / planted twins) in SQL — the approximate candidate
         # stage must find all of it for the row to go green.
+        "dedup_incremental": r"""
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                     text
+              FROM documents),
+            b AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+            i AS (
+              SELECT * FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, norm, text FROM b
+              WHERE doc_id % 10 = 1),
+            ex AS (
+              SELECT i.doc_id AS doc_id, min(b.doc_id) AS m
+              FROM i JOIN b ON i.norm = b.norm GROUP BY 1),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM d),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS ia, b2.doc_id AS ib, count(*) AS k
+              FROM sh a JOIN sh b2 ON a.s = b2.s
+              WHERE a.doc_id % 4 = 0 AND b2.doc_id % 4 <> 0
+              GROUP BY 1, 2),
+            nr AS (
+              SELECT ia AS doc_id, min(ib) AS m
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = ia
+              JOIN sizes sb ON sb.doc_id = ib
+              WHERE k * 1.0 / (sa.n + sb.n - k) >= 0.8
+              GROUP BY 1)
+            SELECT i.doc_id,
+                   CASE WHEN ex.m IS NOT NULL THEN 'exact'
+                        WHEN nr.m IS NOT NULL THEN 'near'
+                        ELSE 'unique' END AS status,
+                   CAST(coalesce(ex.m, nr.m, -1) AS BIGINT) AS match_id
+            FROM i
+            LEFT JOIN ex ON ex.doc_id = i.doc_id
+            LEFT JOIN nr ON nr.doc_id = i.doc_id
+            ORDER BY i.doc_id
+        """,
         "dedup_ngram_jaccard": r"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS id,

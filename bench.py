@@ -213,6 +213,7 @@ def main() -> None:
             "dedup_edit_distance",
             "media_scene_changes",
             "olap_topk_revenue",
+            "dedup_incremental",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -286,8 +287,9 @@ def main() -> None:
         # r05 (adds pmi_collocations; others unchanged); 29 = r05 (adds
         # dedup_edit_distance; others unchanged); 30 = r05 (adds
         # media_scene_changes; others unchanged); 31 = r05 (adds
-        # olap_topk_revenue; others unchanged).
-        "query_rev": 31,
+        # olap_topk_revenue; others unchanged); 32 = r05 (adds
+        # dedup_incremental; others unchanged).
+        "query_rev": 32,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -759,3 +759,125 @@ def edit_distance_pairs(
             "n_b",
         )
     )
+
+
+def dedup_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Classify every INCOMING doc against an already-ingested BASE
+    corpus — the admission filter an epoch-based pipeline runs before
+    appending a fetched batch: ``exact`` (normalized-fingerprint match),
+    ``near`` (exact shingle-set Jaccard ≥ ``threshold`` with some base
+    doc, LSH-candidated), else ``unique``. Returns one row per incoming
+    doc: (id_col, status, match_id) with ``match_id`` the smallest
+    matching base id (exact match wins over near), ``-1`` for unique
+    (sentinel, not NULL — keeps the column a non-null bigint on every
+    engine's rendering).
+
+    Ids must be distinct across base ∪ incoming (they share the crawl's
+    doc_id space by construction).
+
+    Scale shape — the asymmetry is the point: the base corpus is ~all
+    the data and the incoming batch is one epoch's fetch, so nothing
+    here is ever base×base. Fingerprints equi-join on the hash (base
+    side never re-shuffles more than its fingerprint column); minhash
+    band join is strictly base↔incoming with the probe (incoming) side
+    parallelism-pinned (see fanout.py); buckets are capped on their
+    COMBINED size; the exact-Jaccard verify touches only candidate
+    docs.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    inc_ids = incoming.select(F.col(id_col).alias("_iid"))
+
+    # --- exact stage: normalized-fingerprint equi-join ---
+    fp_base = base.select(
+        F.col(id_col).alias("_bid"), doc_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    fp_inc = incoming.select(
+        F.col(id_col).alias("_iid"), doc_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    exact = (
+        fp_inc.join(fp_base, "_fp")
+        .groupBy("_iid")
+        .agg(F.min("_bid").alias("_exact_m"))
+    )
+
+    # --- near stage: cross-frame LSH candidates + exact-Jaccard verify ---
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", F.col("bk.band"), F.col("bk.bh"))
+
+    b_bands = _bands(
+        minhash_signatures(base, id_col, text_col, n_hashes, shingle_k)
+    )
+    i_bands = _bands(
+        minhash_signatures(incoming, id_col, text_col, n_hashes, shingle_k)
+    )
+    ok = (
+        b_bands.select("band", "bh")
+        .unionByName(i_bands.select("band", "bh"))
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket)
+        .select("band", "bh")
+    )
+    cand = (
+        pin_parallelism(
+            i_bands.join(ok, ["band", "bh"]).select(
+                "band", "bh", F.col("id").alias("id_a")
+            ),
+            "band",
+            "bh",
+        )
+        .join(
+            b_bands.select("band", "bh", F.col("id").alias("id_b")),
+            ["band", "bh"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    df_all = base.select(F.col(id_col), F.col(text_col)).unionByName(
+        incoming.select(F.col(id_col), F.col(text_col))
+    )
+    near = (
+        ngram_jaccard_pairs(df_all, cand, id_col, text_col, shingle_k, threshold)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("_near_m"))
+        .withColumnRenamed("id_a", "_iid")
+    )
+
+    return (
+        inc_ids.join(exact, "_iid", "left")
+        .join(near, "_iid", "left")
+        .select(
+            F.col("_iid").alias(id_col),
+            F.when(F.col("_exact_m").isNotNull(), F.lit("exact"))
+            .when(F.col("_near_m").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce("_exact_m", "_near_m", F.lit(-1))
+            .cast("bigint")
+            .alias("match_id"),
+        )
+    )

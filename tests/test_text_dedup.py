@@ -239,3 +239,40 @@ def test_edit_distance_pairs_randomized_complete(spark):
             for r in edit_distance_pairs(df, "title", max_dist=k, q=2).collect()
         }
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_dedup_incremental_statuses(spark):
+    """Planted base/incoming split: an exact re-fetch (whitespace/case
+    variants count), a one-word near-dup above 0.8 trigram-shingle
+    Jaccard, an unrelated unique doc; base-base near pairs never leak
+    into the output, and match_id is the smallest matching base id."""
+    from mediacrawler_spark.operators.text_dedup import dedup_incremental
+
+    words = [f"w{i:02d}" for i in range(40)]
+    long_a = " ".join(words)
+    long_a_typo = " ".join(words[:20] + ["zz"] + words[21:])
+    base = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a),  # exact dup INSIDE base: must not appear in output
+            (5, "completely different text about other things entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  " + long_a.upper() + "  "),  # exact after normalization
+            (11, long_a_typo),  # near: J = 35/41 + shared ends ~ 0.85
+            (12, "nothing shares any shingle with the corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in dedup_incremental(base, incoming, threshold=0.8).collect()
+    }
+    assert rows == {
+        10: ("exact", 1),  # min base id among {1, 2}
+        11: ("near", 1),
+        12: ("unique", -1),
+    }
