@@ -984,6 +984,21 @@ def q_retention_cohorts(spark, sf):
     )
 
 
+def q_session_stats(spark, sf):
+    """Session TABLE (operators/temporal.py sessionize — richer than the
+    q_sessionize per-user count): per user, events within a 4-hour gap
+    chain into one session; one row per session with exact-bigint count /
+    start / end / duration micros. ONE exchange on the key (the session
+    agg reuses the window's partitioning — plan-asserted in
+    tests/test_sessionize.py). Oracle recomputes the lag-gap flag, the
+    running session counter, and the per-session aggregates from scratch
+    in DuckDB."""
+    from mediacrawler_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf, "events")
+    return sessionize(e, gap_seconds=14400).orderBy("user_id", "session_seq")
+
+
 def q_olap_topk_revenue(spark, sf):
     """Classic 3-table OLAP join (TPC-H Q3 shape): segment-filtered
     customers (BROADCAST — the small dim never shuffles the fact
@@ -1915,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "dedup_edit_distance": q_dedup_edit_distance,
         "retention_cohorts": q_retention_cohorts,
+        "session_stats": q_session_stats,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2992,6 +3008,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT act.k) AS BIGINT) AS n_users
             FROM act JOIN first ON first.k = act.k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_stats": """
+            WITH e AS (
+              SELECT user_id AS k, event_id AS i, epoch_us(ts) AS us
+              FROM events
+            ), f AS (
+              SELECT k, i, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 14400000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY k ORDER BY us, i)
+            ), s AS (
+              SELECT k, us,
+                     sum(new_s) OVER (PARTITION BY k ORDER BY us, i
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM f
+            )
+            SELECT CAST(k AS BIGINT) AS user_id,
+                   CAST(sess AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) AS BIGINT) AS end_us,
+                   CAST(max(us) - min(us) AS BIGINT) AS duration_us
+            FROM s GROUP BY k, sess ORDER BY user_id, session_seq
         """,
         "olap_topk_revenue": """
             SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,

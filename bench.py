@@ -214,6 +214,7 @@ def main() -> None:
             "media_scene_changes",
             "olap_topk_revenue",
             "dedup_incremental",
+            "session_stats",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -288,8 +289,9 @@ def main() -> None:
         # dedup_edit_distance; others unchanged); 30 = r05 (adds
         # media_scene_changes; others unchanged); 31 = r05 (adds
         # olap_topk_revenue; others unchanged); 32 = r05 (adds
-        # dedup_incremental; others unchanged).
-        "query_rev": 32,
+        # dedup_incremental; others unchanged); 33 = r05 (adds
+        # session_stats; others unchanged).
+        "query_rev": 33,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }

@@ -602,3 +602,66 @@ def retention_cohorts(
             "n_users",
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization — the clickstream primitive every event
+    warehouse ships (Snowplow/GA sessions, TimescaleDB ``session``): per
+    key, events sorted by (micros, id) belong to one session until the
+    gap to the PREVIOUS event exceeds ``gap_seconds`` (strictly greater —
+    a gap of exactly the timeout stays inside the session, matching the
+    half-open ``(prev, prev+gap]`` containment rule), then a new session
+    starts. Returns one row per SESSION: (key, session_seq 1-based in
+    time order, n_events, start_us, end_us, duration_us) — every value
+    an exact bigint (micros arithmetic only), so any engine reproduces
+    it bit-for-bit.
+
+    Scale shape: ONE exchange on the key; the lag window and the
+    running new-session prefix sum share the same (key) partitioning +
+    (us, id) sort; the per-(key, session) agg then needs NO second
+    exchange (hashpartitioning(key) already clusters (key, session) —
+    plan-asserted in tests). No join, no UDF. Hot keys share the keyed
+    window's usual single-partition-per-group bound — the same caveat
+    as any sessionization; at 10^10 events the one exchange moves only
+    the narrow (key, us, id) projection.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("i"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("us"),
+    )
+    w = Window.partitionBy("k").orderBy("us", "i")
+    run = Window.partitionBy("k").orderBy("us", "i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > F.lit(gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("sess", F.sum("new_s").over(run))
+    return (
+        flagged.groupBy("k", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("sess").cast("bigint").alias("session_seq"),
+            F.col("n_events").cast("bigint"),
+            F.col("start_us").cast("bigint"),
+            F.col("end_us").cast("bigint"),
+            (F.col("end_us") - F.col("start_us")).cast("bigint").alias("duration_us"),
+        )
+    )
