@@ -434,6 +434,61 @@ def q_stream_dedup_keys(spark, sf):
     return spark.table(name).orderBy("user_id", "event_type")
 
 
+def q_stream_session_counts(spark, sf):
+    """§2.11 streaming session windows, hard-oracled: Spark's native
+    ``session_window`` (dynamic-gap event-time sessions with state
+    merging — the streaming twin of operators/temporal.py sessionize)
+    over the events file stream, availableNow, memory sink. Boundary
+    semantics: session_window merges an event landing EXACTLY ``gap``
+    after its predecessor (touching windows coalesce — measured and
+    pinned in tests/test_sessionize.py), i.e. the same strict-``>``
+    new-session rule as batch ``sessionize``, so the two faces agree on
+    every input. The DuckDB oracle recomputes the > gap rule, session
+    start = min ts, end = max ts + gap, exact bigint micros. Complete
+    output mode: every session is in the final table (append would hold
+    back sessions newer than the watermark)."""
+    sch = spark.read.parquet(f"{sf}/events.parquet").schema
+    name = "stream_session_counts_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/mcs_stream_src_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    src = spark.readStream.schema(sch).parquet(src_dir)
+    agg = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "4 hours").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 # ---- training-data pipeline ops -------------------------------------------
 def q_dedup_exact_count(spark, sf):
     """Exact dedup: distinct normalized-text fingerprints (md5 for
@@ -997,6 +1052,42 @@ def q_session_stats(spark, sf):
 
     e = _t(spark, sf, "events")
     return sessionize(e, gap_seconds=14400).orderBy("user_id", "session_seq")
+
+
+def q_olap_rollup_stats(spark, sf):
+    """OLAP ROLLUP / grouping-sets aggregate — the warehouse subtotal
+    query shape (§2.5 beyond plain groupBy): per (source, lang) doc
+    counts and exact-bigint char totals, plus per-source subtotals and
+    the grand total in ONE pass. Spark's rollup lowers to a single
+    Expand + hash-agg (one shuffle for all three grouping levels — not
+    three scans); grouping_id marks the level (bit per column, source
+    high bit — identical convention in DuckDB's GROUPING). Oracle:
+    DuckDB native GROUP BY ROLLUP."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("gid", "source", "lang", "n_docs", "total_chars")
+        .orderBy("gid", F.coalesce("source", F.lit("")), F.coalesce("lang", F.lit("")))
+    )
+
+
+def q_skipgram_cooc(spark, sf):
+    """Token-level windowed co-occurrence counts (operators/corpus.py
+    skipgram_cooc — the word2vec/GloVe input statistic): unordered term
+    pairs within 3 token positions, counted per index pair, min count 2,
+    top 100. Pair generation is a per-doc array HOF (fan-out ≤ window
+    per token); the only shuffle is the pair hash-agg. The DuckDB oracle
+    is an INDEPENDENT quadratic algorithm: lateral double-unnest of the
+    position range with a WHERE distance filter — no HOF mirroring."""
+    from mediacrawler_spark.operators.corpus import skipgram_cooc
+
+    d = _t(spark, sf, "documents")
+    return skipgram_cooc(d, window=3, min_count=2, top_k=100)
 
 
 def q_olap_topk_revenue(spark, sf):
@@ -1900,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_5min": q_window_5min,
         "stream_window_counts": q_stream_window_counts,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_session_counts": q_stream_session_counts,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
         "txt_token_counts": q_txt_token_counts,
@@ -1931,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "retention_cohorts": q_retention_cohorts,
         "session_stats": q_session_stats,
+        "skipgram_cooc": q_skipgram_cooc,
+        "olap_rollup_stats": q_olap_rollup_stats,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2447,6 +2541,28 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_keys": """
             SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
             FROM events ORDER BY user_id, event_type
+        """,
+        "stream_session_counts": """
+            WITH e AS (
+              SELECT user_id AS k, event_id AS i, epoch_us(ts) AS us
+              FROM events
+            ), f AS (
+              SELECT k, i, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 14400000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY k ORDER BY us, i)
+            ), s AS (
+              SELECT k, us,
+                     sum(new_s) OVER (PARTITION BY k ORDER BY us, i
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM f
+            )
+            SELECT CAST(k AS BIGINT) AS user_id,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) + 14400000000 AS BIGINT) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY k, sess ORDER BY user_id, start_us
         """,
         "dedup_exact_count": r"""
             SELECT count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
@@ -3032,6 +3148,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) AS BIGINT) AS end_us,
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM s GROUP BY k, sess ORDER BY user_id, session_seq
+        """,
+        "olap_rollup_stats": """
+            SELECT CAST(GROUPING(source, lang) AS INTEGER) AS gid,
+                   source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
+            ORDER BY gid, coalesce(source, ''), coalesce(lang, '')
+        """,
+        "skipgram_cooc": r"""
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), p AS (
+              SELECT least(toks[a.i], toks[b.j]) AS term_a,
+                     greatest(toks[a.i], toks[b.j]) AS term_b
+              FROM t,
+                   LATERAL unnest(range(1, len(toks)+1)) AS a(i),
+                   LATERAL unnest(range(1, len(toks)+1)) AS b(j)
+              WHERE b.j > a.i AND b.j - a.i <= 3
+            )
+            SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n DESC, term_a, term_b LIMIT 100
         """,
         "olap_topk_revenue": """
             SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,

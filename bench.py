@@ -215,6 +215,8 @@ def main() -> None:
             "olap_topk_revenue",
             "dedup_incremental",
             "session_stats",
+            "skipgram_cooc",
+            "olap_rollup_stats",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -290,7 +292,9 @@ def main() -> None:
         # media_scene_changes; others unchanged); 31 = r05 (adds
         # olap_topk_revenue; others unchanged); 32 = r05 (adds
         # dedup_incremental; others unchanged); 33 = r05 (adds
-        # session_stats; others unchanged).
+        # session_stats, skipgram_cooc, olap_rollup_stats + the
+        # non-benched stream_session_counts oracle row; others
+        # unchanged).
         "query_rev": 33,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),

@@ -852,3 +852,66 @@ def pmi_collocations(
         .orderBy(F.col("lift").desc(), "term_a", "term_b")
         .limit(int(top_k))
     )
+
+
+def skipgram_cooc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Positional skip-gram co-occurrence counts — the word2vec/GloVe
+    input statistic: for every unordered term pair, how many token-index
+    pairs (i, j) with 0 < j−i ≤ ``window`` land on it, summed over the
+    corpus. Unlike ``pmi_collocations`` (document-level, distinct terms)
+    this counts at TOKEN granularity with positional adjacency, so
+    repeated phrases weigh in proportionally — exactly what an embedding
+    trainer consumes. Pairs are canonicalized (lexicographic min, max);
+    same-term pairs (a repeated word inside the window) count too.
+    Output: (term_a, term_b, n) with n ≥ ``min_count``, ordered n desc
+    then pair asc (deterministic), top_k rows; exact bigint counts.
+
+    Scale shape: pair generation is a per-doc array HOF over the token
+    array (fan-out ≤ window per token — linear, never quadratic), one
+    explode, ONE pair-keyed hash-agg with map-side combine,
+    TakeOrderedAndProject. No join, no UDF, no corpus self-join. At
+    100 TB the only shuffle is the pair aggregation and its key space
+    is vocabulary-bounded.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    W_ = int(window)
+    per_doc = docs.select(tokens(F.col(text_col)).alias("ts"))
+    pairs = per_doc.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.transform(
+                        F.sequence(
+                            i + 1, F.least(i + F.lit(W_), F.size("ts"))
+                        ),
+                        lambda j: F.struct(
+                            F.least(
+                                F.element_at("ts", i), F.element_at("ts", j)
+                            ).alias("a"),
+                            F.greatest(
+                                F.element_at("ts", i), F.element_at("ts", j)
+                            ).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+        .orderBy(F.col("n").desc(), "term_a", "term_b")
+        .limit(int(top_k))
+    )

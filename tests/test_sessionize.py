@@ -107,3 +107,37 @@ def test_sessionize_plan_one_exchange_no_python(spark):
     # exactly one shuffle in the whole plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_gap_boundary_batch_and_session_window_agree(spark):
+    """Pins the boundary semantics the stream_session_counts oracle
+    depends on: Spark's native session_window MERGES an event landing
+    exactly gap seconds after its predecessor (touching windows
+    coalesce), i.e. the same strict-> new-session rule as batch
+    sessionize — and one microsecond past the gap splits in both."""
+    exact = [
+        (1, 1, T0),
+        (2, 1, T0 + timedelta(seconds=3600)),  # exactly the gap: merges
+        (3, 1, T0 + timedelta(seconds=3601)),
+    ]
+    past = [
+        (1, 1, T0),
+        (2, 1, T0 + timedelta(seconds=3600, microseconds=1)),  # splits
+    ]
+
+    def _sw_counts(rows):
+        return sorted(
+            r["n"]
+            for r in _mk(spark, rows)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    batch = _collect(sessionize(_mk(spark, exact), gap_seconds=3600))
+    assert {k: v[0] for k, v in batch.items()} == {(1, 1): 3}
+    assert _sw_counts(exact) == [3]
+    batch2 = _collect(sessionize(_mk(spark, past), gap_seconds=3600))
+    assert {k: v[0] for k, v in batch2.items()} == {(1, 1): 1, (1, 2): 1}
+    assert _sw_counts(past) == [1, 1]
