@@ -1890,6 +1890,81 @@ def q_graph_pagerank(spark, sf):
     return pagerank(edges, n_iter=5).orderBy("node")
 
 
+def q_trend_wow(spark, sf):
+    """Week-over-week trend per event type — the period-comparison query
+    every metrics dashboard runs: counts per (type, 7-epoch-day week —
+    pure integer division, no calendar arithmetic), lag to the previous
+    OBSERVED week (missing weeks lag to the last one seen — documented,
+    identical on both engines), exact bigint delta, 6dp ratio; first
+    week of a type carries NULLs. One hash-agg + one tiny keyed window
+    over the aggregate (group-count-sized, never event-sized)."""
+    e = _t(spark, sf, "events")
+    wk = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 86400000000) div 7"
+    ).cast("long")
+    wc = e.groupBy(F.col("event_type"), wk.alias("week")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return (
+        wc.select(
+            "event_type",
+            "week",
+            "n",
+            prev.cast("bigint").alias("n_prev"),
+            (F.col("n") - prev).cast("bigint").alias("delta"),
+            F.round(F.col("n").cast("double") / prev.cast("double"), 6).alias(
+                "ratio"
+            ),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+def q_graph_transitions(spark, sf):
+    """First-order Markov next-page model (operators/graph.py
+    markov_transitions) over the clickstream: consecutive same-user
+    events ordered by (ts, event_id), SELF-LOOPS KEPT (a refresh is a
+    transition — unlike the pagerank edge prep), exact bigint pair and
+    source totals, P(dst|src) as one 6dp double division. Oracle
+    recomputes lag edges, counts, and totals from scratch."""
+    from mediacrawler_spark.operators.graph import markov_transitions
+
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nav = e.select("user_id", "ts", "event_id", page.alias("page")).withColumn(
+        "prev", F.lag("page").over(w)
+    )
+    edges = nav.filter(
+        F.col("prev").isNotNull() & F.col("page").isNotNull()
+    ).select(F.col("prev").alias("src"), F.col("page").alias("dst"))
+    return markov_transitions(edges).orderBy("src", "dst")
+
+
+def q_graph_copageview(spark, sf):
+    """Item-item co-visitation projection (operators/graph.py
+    copageview): distinct users who viewed both pages, per-user fan-out
+    capped at 20 items in deterministic md5(user:item) order (the cap is
+    part of the definition — the oracle applies the identical rule).
+    Engine side generates pairs via per-user array HOFs (NO self-join —
+    immune to the AQE fan-out collapse the join form needs pins for);
+    the DuckDB oracle is the INDEPENDENT join formulation (capped table
+    self-joined on user). Exact bigint counts."""
+    from mediacrawler_spark.operators.graph import copageview
+
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    ui = e.select("user_id", page.alias("page")).filter(
+        F.col("page").isNotNull()
+    )
+    return copageview(
+        ui, user_col="user_id", item_col="page",
+        max_items_per_user=20, min_cooc=2,
+    )
+
+
 def q_search_bm25(spark, sf):
     """BM25 keyword retrieval (operators/corpus.py:bm25_topk) for a fixed
     3-term query: per-term tf/doc-length as array HOFs (scoring is a pure
@@ -2025,6 +2100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "skipgram_cooc": q_skipgram_cooc,
         "olap_rollup_stats": q_olap_rollup_stats,
+        "graph_transitions": q_graph_transitions,
+        "graph_copageview": q_graph_copageview,
+        "trend_wow": q_trend_wow,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -3148,6 +3226,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) AS BIGINT) AS end_us,
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM s GROUP BY k, sess ORDER BY user_id, session_seq
+        """,
+        "trend_wow": """
+            WITH wc AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 86400000000) // 7 AS week,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(week AS BIGINT) AS week,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(lag(n) OVER w AS BIGINT) AS n_prev,
+                   CAST(n - lag(n) OVER w AS BIGINT) AS delta,
+                   round(n * 1.0 / (lag(n) OVER w), 6) AS ratio
+            FROM wc WINDOW w AS (PARTITION BY event_type ORDER BY week)
+            ORDER BY event_type, week
+        """,
+        "graph_transitions": """
+            WITH nav AS (
+              SELECT user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS page,
+                     lag(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), e AS (
+              SELECT prev AS s, page AS d FROM nav
+              WHERE prev IS NOT NULL AND page IS NOT NULL
+            ), pc AS (
+              SELECT s, d, count(*) AS n FROM e GROUP BY s, d
+            ), tot AS (
+              SELECT s, sum(n) AS n_src FROM pc GROUP BY s
+            )
+            SELECT CAST(pc.s AS BIGINT) AS src, CAST(pc.d AS BIGINT) AS dst,
+                   CAST(pc.n AS BIGINT) AS n,
+                   CAST(tot.n_src AS BIGINT) AS n_src,
+                   round(pc.n * 1.0 / tot.n_src, 6) AS p
+            FROM pc JOIN tot ON tot.s = pc.s
+            ORDER BY src, dst
+        """,
+        "graph_copageview": """
+            WITH ui AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL
+            ), r AS (
+              SELECT u, it,
+                     row_number() OVER (
+                         PARTITION BY u
+                         ORDER BY md5(CAST(u AS VARCHAR) || ':' ||
+                                      CAST(it AS VARCHAR)), it) AS rn
+              FROM ui
+            ), c AS (
+              SELECT u, it FROM r WHERE rn <= 20
+            )
+            SELECT CAST(a.it AS BIGINT) AS item_a,
+                   CAST(b.it AS BIGINT) AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM c a JOIN c b ON a.u = b.u AND a.it < b.it
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n_users DESC, item_a, item_b
         """,
         "olap_rollup_stats": """
             SELECT CAST(GROUPING(source, lang) AS INTEGER) AS gid,

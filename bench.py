@@ -217,6 +217,9 @@ def main() -> None:
             "session_stats",
             "skipgram_cooc",
             "olap_rollup_stats",
+            "graph_transitions",
+            "graph_copageview",
+            "trend_wow",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -292,7 +295,8 @@ def main() -> None:
         # media_scene_changes; others unchanged); 31 = r05 (adds
         # olap_topk_revenue; others unchanged); 32 = r05 (adds
         # dedup_incremental; others unchanged); 33 = r05 (adds
-        # session_stats, skipgram_cooc, olap_rollup_stats + the
+        # session_stats, skipgram_cooc, olap_rollup_stats,
+        # graph_transitions, graph_copageview, trend_wow + the
         # non-benched stream_session_counts oracle row; others
         # unchanged).
         "query_rev": 33,

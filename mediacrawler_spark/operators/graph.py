@@ -21,7 +21,7 @@ LLM-corpus operators to cluster granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.operators.fanout import pin_parallelism
@@ -268,4 +268,104 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def markov_transitions(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """First-order Markov transition model over a directed edge stream —
+    the next-page predictor / crawl-prefetch statistic: for every
+    observed (src, dst) transition, its count, the source's total
+    out-transitions, and P(dst | src) as ONE double division of the two
+    exact bigints, rounded 6dp (engine-exact). Self-loops count (a
+    refresh IS a transition — unlike the pagerank/triangle edge prep,
+    which drops them; callers choose by pre-filtering).
+
+    Scale shape: one (src, dst) hash-agg with map-side combine, one
+    src-keyed re-agg of the PAIR COUNTS (never the raw edges — input to
+    the totals agg is already |distinct pairs|), and the totals join is
+    on the same src key (AQE broadcasts it when small; at 10^10 edges
+    both sides are pair/vertex-bounded, not edge-bounded). No window,
+    no UDF.
+    """
+    pc = (
+        edges.groupBy(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = pc.groupBy("s").agg(F.sum("n").cast("bigint").alias("n_src"))
+    return (
+        pc.join(tot, "s")
+        .select(
+            F.col("s").alias(src),
+            F.col("d").alias(dst),
+            "n",
+            "n_src",
+            F.round(
+                F.col("n").cast("double") / F.col("n_src").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
+def copageview(
+    user_item: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "page",
+    max_items_per_user: int = 20,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Bipartite co-visitation projection — "users who viewed X also
+    viewed Y": for every unordered item pair, how many distinct users
+    viewed both. The classic item-item collaborative signal, with the
+    standard production bound on quadratic user fan-out: each user
+    contributes at most ``max_items_per_user`` items (a user who views
+    everything would otherwise emit C(n,2) pairs), chosen by
+    deterministic md5(user:item) order so the cap is engine-reproducible
+    rather than "first seen" (every co-occurrence pipeline at scale caps
+    exactly like this; the cap is part of the DEFINITION here, so the
+    oracle applies the identical rule — not a recall loss).
+
+    Scale shape: one distinct (user, item) pre-agg, ONE exchange on the
+    user for the cap window + the sorted-array collect (same
+    partitioning), per-user pair generation as an array HOF (fan-out ≤
+    C(cap, 2) — constant), one pair-keyed hash-agg. NO self-join of the
+    visitation table (the join-based formulation needs a fan-out pin
+    under AQE; the HOF form cannot collapse). Exact bigint counts.
+    """
+    ui = user_item.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy(
+        F.md5(F.concat_ws(":", F.col("u"), F.col("it"))), F.col("it")
+    )
+    capped = ui.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= int(max_items_per_user)
+    )
+    per_user = capped.groupBy("u").agg(
+        F.array_sort(F.collect_list("it")).alias("its")
+    )
+    pairs = per_user.filter(F.size("its") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("its") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("its")),
+                        lambda j: F.struct(
+                            F.element_at("its", i).alias("a"),
+                            F.element_at("its", j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= int(min_cooc))
+        .orderBy(F.col("n_users").desc(), "item_a", "item_b")
     )
