@@ -989,6 +989,74 @@ def q_dedup_incremental(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_rolling_dau(spark, sf):
+    """Rolling 7-day distinct active users per observed day — the
+    sliding count-distinct every metrics warehouse reports. Exact (no
+    sketch): one distinct (user, epoch-day) pre-agg (the only
+    event-volume shuffle), then each user-day fans out to the ≤7 window
+    ends it feeds (explode of a 7-element sequence — constant fan-out),
+    count-distinct per window end, reported only for days that have
+    events. The DuckDB oracle is the INDEPENDENT range-join formulation
+    (day BETWEEN d-6 AND d)."""
+    e = _t(spark, sf, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").cast(
+        "long"
+    )
+    ud = e.select("user_id", day.alias("day")).distinct()
+    days = ud.select("day").distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
+            "wday"
+        ),
+    )
+    return (
+        win.join(F.broadcast(days.withColumnRenamed("day", "wday")), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(F.col("wday").cast("bigint").alias("day"), "active_users_7d")
+        .orderBy("day")
+    )
+
+
+def q_search_postings(spark, sf):
+    """Inverted-index build (operators/corpus.py inverted_postings):
+    per term df, cf, and the postings list serialized as a
+    "doc:tf,doc:tf" string in doc-id order (string encoding
+    hash-compares identically across engines and is the on-disk segment
+    form anyway). Top 100 terms by (df desc, term). Oracle rebuilds tf
+    per (term, doc) and string_aggs the postings in DuckDB."""
+    from mediacrawler_spark.operators.corpus import inverted_postings
+
+    d = _t(spark, sf, "documents")
+    return inverted_postings(d, min_df=2, top_k=100)
+
+
+def q_embedding_incremental(spark, sf):
+    """Cross-frame semantic admission (operators/similarity.py
+    embedding_incremental — the embedding twin of dedup_incremental):
+    vectors with vec_id % 5 == 0 arrive as the epoch's batch, classified
+    against the rest as base; re-fetches are planted (base vectors with
+    vec_id % 7 == 1 re-arrive under id+10^6 with identical embeddings →
+    'dup' at cosine 1.0 with the original id as match_id); naturals max
+    out far below the 0.95 threshold → 'unique'. Bucket cap lifted for
+    the correctness query (as in dedup_clusters). The DuckDB oracle is
+    the independent all-pairs cross-frame cosine join."""
+    from mediacrawler_spark.operators.similarity import embedding_incremental
+
+    em = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    base = em.filter(F.col("vec_id") % 5 != 0)
+    refetch = base.filter(F.col("vec_id") % 7 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    inc = em.filter(F.col("vec_id") % 5 == 0).unionByName(refetch)
+    return embedding_incremental(
+        base, inc, threshold=0.95, max_bucket=1 << 20
+    ).orderBy("vec_id")
+
+
 def q_pmi_collocations(spark, sf):
     """Document-level collocation mining (operators/corpus.py
     pmi_collocations): top-50 vocab term pairs by lift =
@@ -2103,6 +2171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitions": q_graph_transitions,
         "graph_copageview": q_graph_copageview,
         "trend_wow": q_trend_wow,
+        "embedding_incremental": q_embedding_incremental,
+        "rolling_dau_7d": q_rolling_dau,
+        "search_postings": q_search_postings,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -3226,6 +3297,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) AS BIGINT) AS end_us,
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM s GROUP BY k, sess ORDER BY user_id, session_seq
+        """,
+        "rolling_dau_7d": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), days AS (SELECT DISTINCT day FROM ud)
+            SELECT CAST(d.day AS BIGINT) AS day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY day
+        """,
+        "search_postings": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT term, doc_id AS doc, count(*) AS tf
+              FROM t GROUP BY term, doc_id
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+            FROM tf GROUP BY term HAVING count(*) >= 2
+            ORDER BY df DESC, term LIMIT 100
+        """,
+        "embedding_incremental": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+            ), inc AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 7 = 1
+            ), hits AS (
+              SELECT i.vec_id AS iv, min(b.vec_id) AS mid
+              FROM inc i JOIN base b
+                ON list_cosine_similarity(i.embedding, b.embedding) >= 0.95
+              GROUP BY i.vec_id
+            ), best AS (
+              SELECT h.iv, h.mid,
+                     round(list_cosine_similarity(i.embedding, b.embedding), 6) AS cos
+              FROM hits h
+              JOIN inc i ON i.vec_id = h.iv
+              JOIN base b ON b.vec_id = h.mid
+            )
+            SELECT CAST(i.vec_id AS BIGINT) AS vec_id,
+                   CASE WHEN best.iv IS NULL THEN 'unique' ELSE 'dup' END AS status,
+                   CAST(coalesce(best.mid, -1) AS BIGINT) AS match_id,
+                   coalesce(best.cos, 0.0) AS cosine
+            FROM inc i LEFT JOIN best ON best.iv = i.vec_id
+            ORDER BY vec_id
         """,
         "trend_wow": """
             WITH wc AS (

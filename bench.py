@@ -220,6 +220,9 @@ def main() -> None:
             "graph_transitions",
             "graph_copageview",
             "trend_wow",
+            "embedding_incremental",
+            "rolling_dau_7d",
+            "search_postings",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -296,7 +299,8 @@ def main() -> None:
         # olap_topk_revenue; others unchanged); 32 = r05 (adds
         # dedup_incremental; others unchanged); 33 = r05 (adds
         # session_stats, skipgram_cooc, olap_rollup_stats,
-        # graph_transitions, graph_copageview, trend_wow + the
+        # graph_transitions, graph_copageview, trend_wow,
+        # embedding_incremental, rolling_dau_7d, search_postings + the
         # non-benched stream_session_counts oracle row; others
         # unchanged).
         "query_rev": 33,

@@ -915,3 +915,56 @@ def skipgram_cooc(
         .orderBy(F.col("n").desc(), "term_a", "term_b")
         .limit(int(top_k))
     )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Inverted-index build — the physical artifact behind bm25_topk's
+    statistics: per term its document frequency, collection frequency,
+    and the postings list as a STRING ``"doc:tf,doc:tf,..."`` in doc-id
+    order. String encoding is deliberate: a string column hash-compares
+    bit-identically across engines (an array<struct> renders
+    differently per engine), and it is exactly how postings serialize
+    into an index segment anyway. Top ``top_k`` terms by (df desc,
+    term asc) — deterministic.
+
+    Scale shape: one explode → (term, doc) hash-agg with map-side
+    combine (tf), one term-keyed agg for df/cf/the sorted postings
+    concat, TakeOrderedAndProject. The postings string for a stop-word
+    term is df-bounded — at 10^10 docs a real index would shard hot
+    terms' postings (doc-range segmenting); this operator is the
+    per-shard build, which is why there is no cap here.
+    """
+    from mediacrawler_spark.functions.textual import tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("term", "doc")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+                    ),
+                    lambda s: F.concat_ws(":", s["doc"], s["tf"]),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= int(min_df))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(int(top_k))
+    )

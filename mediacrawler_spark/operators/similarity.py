@@ -446,3 +446,82 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Classify every INCOMING vector against an already-ingested BASE
+    corpus — the embedding twin of text_dedup.dedup_incremental, the
+    admission filter a semantic-dedup pipeline runs per ingestion epoch:
+    ``dup`` if cosine ≥ ``threshold`` with some base vector, else
+    ``unique``. One row per incoming vector: (id_col, status, match_id,
+    cosine) with ``match_id`` the SMALLEST matching base id and
+    ``cosine`` that pair's similarity (6dp); unique rows carry the -1 /
+    0.0 sentinels so every column stays non-null.
+
+    Candidates come from a cross-frame hyperplane-signature bucket join
+    (identical/near-identical vectors share a bucket with prob → 1);
+    buckets are capped on their COMBINED (base + incoming) size —
+    recall knob, correctness queries lift it — and exact cosine
+    verifies every candidate, so precision is exact. Scale shape
+    mirrors dedup_incremental's asymmetry: nothing is ever base×base;
+    the signature UDF runs ONCE per side; the probe (incoming) side is
+    parallelism-pinned against the AQE fan-out collapse (fanout.py).
+    """
+    from mediacrawler_spark.operators.text_dedup import _cap_buckets
+
+    bucket = hyperplane_bucket_udf(dim, n_planes)
+
+    def _sig(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(vec_col).alias(f"v{tag}"),
+            _norm(F.col(vec_col)).alias(f"n{tag}"),
+            F.coalesce(bucket(F.col(vec_col)), F.lit(-1)).alias("bucket"),
+        ).persist()
+
+    sb = _sig(base, "b")
+    si = _sig(incoming, "i")
+    # combined-size bucket cap: count each side once, drop over-cap keys
+    sizes = (
+        sb.groupBy("bucket").agg(F.count("*").alias("_cb"))
+        .join(si.groupBy("bucket").agg(F.count("*").alias("_ci")), "bucket", "outer")
+        .select(
+            "bucket",
+            (F.coalesce("_cb", F.lit(0)) + F.coalesce("_ci", F.lit(0))).alias("_n"),
+        )
+    )
+    keep = sizes.filter(F.col("_n") <= int(max_bucket)).select("bucket")
+    sb_k = sb.join(F.broadcast(keep), "bucket")
+    si_k = pin_parallelism(si.join(F.broadcast(keep), "bucket"), "bucket")
+    cand = si_k.join(sb_k, "bucket").dropDuplicates(["id_i", "id_b"])
+    cosine = F.when(
+        (F.col("ni") > 0) & (F.col("nb") > 0),
+        _dot(F.col("vi"), F.col("vb")) / (F.col("ni") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
+    hits = (
+        cand.withColumn("_cos", cosine)
+        .filter(F.col("_cos") >= float(threshold))
+        .groupBy("id_i")
+        .agg(F.min(F.struct(F.col("id_b"), F.col("_cos"))).alias("_m"))
+    )
+    return (
+        incoming.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id_i", id_col), id_col, "left")
+        .select(
+            F.col(id_col).cast("bigint"),
+            F.when(F.col("_m").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce(F.col("_m.id_b"), F.lit(-1)).cast("bigint").alias("match_id"),
+            F.round(F.coalesce(F.col("_m._cos"), F.lit(0.0)), 6).alias("cosine"),
+        )
+    )
