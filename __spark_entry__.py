@@ -1144,6 +1144,113 @@ def q_olap_rollup_stats(spark, sf):
     )
 
 
+def q_value_histogram(spark, sf):
+    """Fixed-width histogram of event values — the profiling primitive
+    behind every dashboard distribution chart: value → exact cents
+    (round-half-up), 20 bins of 500 cents with the last bin open-ended,
+    exact bigint counts + per-bin cent sums and the 6dp share. One
+    hash-agg over a scan-side pure-codegen bin expression — the
+    histogram of 10^10 rows costs one partial-combine shuffle of ≤20
+    keys."""
+    e = _t(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bin_ = F.least(F.floor(cents / 500), F.lit(19)).cast("long")
+    n_tot = e.count()
+    return (
+        e.select(cents.alias("c"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 500).cast("bigint").alias("lo_cents"),
+            "n",
+            "sum_cents",
+            F.round(F.col("n").cast("double") / F.lit(float(n_tot)), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_olap_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary — the scan-heavy whole-table
+    aggregate that benchmarks raw columnar-scan + partial-agg throughput
+    (4 output groups, no join). Money is integer-exact end to end:
+    cents / discount-pct / tax-pct via the round-half-up rule,
+    sum_disc_cp = Σ cents·(100−pct) and sum_charge_cpp =
+    Σ cents·(100−pct)·(100+taxpct) as exact bigints (~1e8/row — safe in
+    signed 64-bit past 10^10 rows); the avg columns are single 6dp
+    double divisions of those exact sums. Shipdate filter pushes to the
+    parquet scan; ONE hash-agg with map-side combine."""
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            F.sum(cents).cast("bigint").alias("sum_base_cp"),
+            F.sum(cents * (F.lit(100) - pct)).cast("bigint").alias("sum_disc_cp"),
+            F.sum(cents * (F.lit(100) - pct) * (F.lit(100) + tax))
+            .cast("bigint")
+            .alias("sum_charge_cpp"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_cp",
+            "sum_disc_cp",
+            "sum_charge_cpp",
+            "count_order",
+            F.round(
+                F.col("sum_qty").cast("double") / F.col("count_order"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.col("sum_base_cp").cast("double") / F.col("count_order"), 6
+            ).alias("avg_price_c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_scd2_intervals(spark, sf):
+    """SCD type-2 validity intervals — the dimension-history build every
+    warehouse load runs: per user, events ordered by (ts, event_id)
+    become state rows valid [valid_from_us, valid_to_us) with the next
+    event's micros as the exclusive upper bound; the latest row is open
+    (valid_to_us = -1 sentinel, is_current = 1). ONE exchange on the
+    user key; the lead window is the whole plan. All values exact
+    bigint micros."""
+    e = _t(spark, sf, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    nxt = F.lead("valid_from_us").over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            us.alias("valid_from_us"),
+        )
+        .withColumn("valid_to_us", F.coalesce(nxt, F.lit(-1)).cast("bigint"))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to_us") == -1, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+    )
+
+
 def q_skipgram_cooc(spark, sf):
     """Token-level windowed co-occurrence counts (operators/corpus.py
     skipgram_cooc — the word2vec/GloVe input statistic): unordered term
@@ -2174,6 +2281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental": q_embedding_incremental,
         "rolling_dau_7d": q_rolling_dau,
         "search_postings": q_search_postings,
+        "olap_pricing_summary": q_olap_pricing_summary,
+        "scd2_intervals": q_scd2_intervals,
+        "value_histogram": q_value_histogram,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -3297,6 +3407,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) AS BIGINT) AS end_us,
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM s GROUP BY k, sess ORDER BY user_id, session_seq
+        """,
+        "value_histogram": """
+            WITH b AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                     least(CAST(floor(floor(value * 100 + 0.5) / 500) AS BIGINT), 19) AS bin
+              FROM events
+            ), t AS (SELECT count(*) AS n FROM events)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(bin * 500 AS BIGINT) AS lo_cents,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_cents,
+                   round(count(*) * 1.0 / (SELECT n FROM t), 6) AS share
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        "olap_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cp,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_cp,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                            * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS sum_charge_cpp,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   round(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1.0
+                         / count(*), 6) AS avg_qty,
+                   round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 1.0
+                         / count(*), 6) AS avg_price_c
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "scd2_intervals": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type AS state,
+                     epoch_us(ts) AS valid_from_us
+              FROM events
+            )
+            SELECT user_id, event_id, state,
+                   CAST(valid_from_us AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(lead(valid_from_us) OVER w, -1) AS BIGINT)
+                       AS valid_to_us,
+                   CAST(CASE WHEN lead(valid_from_us) OVER w IS NULL
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_current
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+            ORDER BY user_id, valid_from_us, event_id
         """,
         "rolling_dau_7d": """
             WITH ud AS (

@@ -223,6 +223,9 @@ def main() -> None:
             "embedding_incremental",
             "rolling_dau_7d",
             "search_postings",
+            "olap_pricing_summary",
+            "scd2_intervals",
+            "value_histogram",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -302,8 +305,9 @@ def main() -> None:
         # graph_transitions, graph_copageview, trend_wow,
         # embedding_incremental, rolling_dau_7d, search_postings + the
         # non-benched stream_session_counts oracle row; others
-        # unchanged).
-        "query_rev": 33,
+        # unchanged); 34 = r05 (adds olap_pricing_summary,
+        # scd2_intervals, value_histogram; others unchanged).
+        "query_rev": 34,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
