@@ -1144,6 +1144,36 @@ def q_olap_rollup_stats(spark, sf):
     )
 
 
+def q_zorder_layout(spark, sf):
+    """Z-order layout assignment (operators/layout.py zorder_assign —
+    the Delta/Iceberg OPTIMIZE ZORDER analog): events quantized on
+    (user_id, page) to 8 bits each by EXACT bigint range scaling, bits
+    interleaved into a Morton code, range-split into 64 buckets;
+    reported per bucket (n, min_z, max_z, n_users). Assignment is pure
+    scan-side codegen (one broadcast min/max row — the corpus never
+    shuffles to learn its layout); locality vs 1-D sort is pinned in
+    tests/test_zorder.py. Oracle replays the identical integer
+    quantize+interleave (definitional, like shard_assign)."""
+    from mediacrawler_spark.operators.layout import zorder_assign
+
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    ui = e.select("user_id", page.alias("page")).filter(
+        F.col("page").isNotNull()
+    )
+    return (
+        zorder_assign(ui, "user_id", "page", bits=8, n_buckets=64)
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("z").cast("bigint").alias("min_z"),
+            F.max("z").cast("bigint").alias("max_z"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 def q_value_histogram(spark, sf):
     """Fixed-width histogram of event values — the profiling primitive
     behind every dashboard distribution chart: value → exact cents
@@ -2284,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": q_olap_pricing_summary,
         "scd2_intervals": q_scd2_intervals,
         "value_histogram": q_value_histogram,
+        "zorder_layout": q_zorder_layout,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2315,6 +2346,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "media_dedup_near": q_media_dedup_near,
     }
+
+
+def _zorder_oracle_sql() -> str:
+    """Replays zorder_assign's exact integer quantize + Morton
+    interleave in DuckDB (8 bits per key, 64 range buckets): q = (v -
+    min) * 255 // max(span, 1), then bit i of q_user → z bit 2i+1 and
+    bit i of q_page → z bit 2i, bucket = z >> 10."""
+    inter = " + ".join(
+        f"(((qa >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+        f"(((qb >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(8)
+    )
+    return f"""
+        WITH ui AS (
+          SELECT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), mm AS (
+          SELECT min(user_id) AS lo_a, max(user_id) AS hi_a,
+                 min(page) AS lo_b, max(page) AS hi_b
+          FROM ui
+        ), q AS (
+          SELECT user_id, page,
+                 (user_id - lo_a) * 255 // greatest(hi_a - lo_a, 1) AS qa,
+                 (page - lo_b) * 255 // greatest(hi_b - lo_b, 1) AS qb
+          FROM ui, mm
+        ), z AS (
+          SELECT user_id, ({inter}) AS z FROM q
+        )
+        SELECT CAST(z >> 10 AS BIGINT) AS z_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(z) AS BIGINT) AS min_z,
+               CAST(max(z) AS BIGINT) AS max_z,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM z GROUP BY 1 ORDER BY 1
+    """
 
 
 def _simhash_h3_oracle_sql() -> str:
@@ -4002,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "dedup_simhash_h3": _simhash_h3_oracle_sql(),
+        "zorder_layout": _zorder_oracle_sql(),
         "creator_record": """
             SELECT CAST(doc_id AS VARCHAR) AS user_id,
                    'u' || CAST(doc_id AS VARCHAR) AS nickname,
