@@ -489,6 +489,73 @@ def q_stream_session_counts(spark, sf):
     )
 
 
+def q_stream_join_views_purchases(spark, sf):
+    """§2.11 stream-stream join, hard-oracled: the fourth streaming face
+    — view events inner-joined to the SAME user's purchase events
+    landing within one hour after the view, as two watermarked file
+    streams with a time-range join condition (the shape that lets the
+    state store evict: a view older than the watermark minus the bound
+    can never match again). Append mode emits each matched pair once;
+    availableNow drains the source, so the final table must equal the
+    static join — which the DuckDB oracle computes independently. All
+    values exact bigint micros."""
+    sch = spark.read.parquet(f"{sf}/events.parquet").schema
+    name = "stream_join_vp_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    import hashlib
+    import os
+
+    src_dir = f"/tmp/mcs_stream_src_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+
+    def _side(evt, tag):
+        s = (
+            spark.readStream.schema(sch)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == evt)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("event_id").alias(f"{tag}_event"),
+            F.col("ts").alias(f"{tag}_ts"),
+        )
+
+    v, p = _side("view", "v"), _side("purchase", "p")
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("v_user").cast("bigint").alias("user_id"),
+            F.col("v_event").cast("bigint").alias("view_event"),
+            F.col("p_event").cast("bigint").alias("purchase_event"),
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+        )
+        .orderBy("user_id", "view_event", "purchase_event")
+    )
+
+
 # ---- training-data pipeline ops -------------------------------------------
 def q_dedup_exact_count(spark, sf):
     """Exact dedup: distinct normalized-text fingerprints (md5 for
@@ -1142,6 +1209,32 @@ def q_olap_rollup_stats(spark, sf):
         .select("gid", "source", "lang", "n_docs", "total_chars")
         .orderBy("gid", F.coalesce("source", F.lit("")), F.coalesce("lang", F.lit("")))
     )
+
+
+def q_pivot_user_events(spark, sf):
+    """Pivot / cross-tab (§2.5): per-user event-type count matrix via
+    Spark's native ``pivot`` with an EXPLICIT value list (the fixed list
+    keeps the plan a single pass — one hash-agg with conditional
+    columns, no second distinct-values job, and a stable output schema)
+    plus an exact bigint total. The DuckDB oracle is the conditional-
+    aggregation formulation (count(*) FILTER per type)."""
+    e = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    total = None
+    for t in types:
+        c = F.col(t).cast("bigint")
+        total = c if total is None else total + c
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types],
+        total.alias("n_total"),
+    ).orderBy("user_id")
 
 
 def q_zorder_layout(spark, sf):
@@ -2272,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_session_counts": q_stream_session_counts,
+        "stream_join_views_purchases": q_stream_join_views_purchases,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
         "txt_token_counts": q_txt_token_counts,
@@ -2315,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "value_histogram": q_value_histogram,
         "zorder_layout": q_zorder_layout,
+        "pivot_user_events": q_pivot_user_events,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -2890,6 +2985,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) + 14400000000 AS BIGINT) AS end_us,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY k, sess ORDER BY user_id, start_us
+        """,
+        "stream_join_views_purchases": """
+            SELECT CAST(v.user_id AS BIGINT) AS user_id,
+                   CAST(v.event_id AS BIGINT) AS view_event,
+                   CAST(p.event_id AS BIGINT) AS purchase_event,
+                   CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+            FROM events v
+            JOIN events p
+              ON p.user_id = v.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND epoch_us(p.ts) >= epoch_us(v.ts)
+             AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+            ORDER BY user_id, view_event, purchase_event
         """,
         "dedup_exact_count": r"""
             SELECT count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
@@ -4071,6 +4180,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash_h3": _simhash_h3_oracle_sql(),
         "zorder_layout": _zorder_oracle_sql(),
+        "pivot_user_events": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "creator_record": """
             SELECT CAST(doc_id AS VARCHAR) AS user_id,
                    'u' || CAST(doc_id AS VARCHAR) AS nickname,

@@ -227,6 +227,7 @@ def main() -> None:
             "scd2_intervals",
             "value_histogram",
             "zorder_layout",
+            "pivot_user_events",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -307,8 +308,9 @@ def main() -> None:
         # embedding_incremental, rolling_dau_7d, search_postings + the
         # non-benched stream_session_counts oracle row; others
         # unchanged); 34 = r05 (adds olap_pricing_summary,
-        # scd2_intervals, value_histogram, zorder_layout; others
-        # unchanged).
+        # scd2_intervals, value_histogram, zorder_layout,
+        # pivot_user_events + the non-benched
+        # stream_join_views_purchases oracle row; others unchanged).
         "query_rev": 34,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
