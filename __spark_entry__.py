@@ -1211,6 +1211,49 @@ def q_olap_rollup_stats(spark, sf):
     )
 
 
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test split (operators/corpus.py
+    split_assign): each doc's 60-bit md5 draw against EXACT integer
+    percent thresholds (cum·16^15 div 100) — membership is a pure
+    function of the id, so it is engine-identical and stable as the
+    corpus grows (the contamination-free eval-set property). Oracle
+    recomputes draw + bands with hex-literal casts."""
+    from mediacrawler_spark.operators.corpus import split_assign
+
+    d = _t(spark, sf, "documents")
+    return split_assign(
+        d, ratios=(("train", 80), ("val", 10), ("test", 10))
+    ).orderBy("doc_id")
+
+
+def q_hll_merge_rollup(spark, sf):
+    """Sketch-merge rollup (operators/sketches.py hll_merge): per-type
+    HLL registers over user ids estimate per-type distinct users, and
+    the SAME stored registers merge (register-wise max) into the global
+    'ALL' estimate WITHOUT rescanning raw keys — the mergeability
+    property that makes sketch rollups free at 10^10 keys (per-host →
+    per-TLD → global from stored registers). Merged registers are
+    bit-identical to direct sketching (pinned in
+    tests/test_split_merge.py), so the oracle's independent recompute
+    hash-matches the estimates."""
+    from mediacrawler_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    e = _t(spark, sf, "events")
+    regs = hll_registers(e, ["event_type"], "user_id")
+    per_type = hll_estimate(regs, ["event_type"])
+    merged = hll_merge(regs, []).withColumn("event_type", F.lit("ALL"))
+    all_est = hll_estimate(merged, ["event_type"])
+    return (
+        per_type.unionByName(all_est)
+        .select("event_type", F.round("est_distinct", 6).alias("est_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_pivot_user_events(spark, sf):
     """Pivot / cross-tab (§2.5): per-user event-type count matrix via
     Spark's native ``pivot`` with an EXPLICIT value list (the fixed list
@@ -2410,6 +2453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "zorder_layout": q_zorder_layout,
         "pivot_user_events": q_pivot_user_events,
+        "split_assign": q_split_assign,
+        "hll_merge_rollup": q_hll_merge_rollup,
         "range_join": q_range_join,
         "tfidf_topterms": q_tfidf_topterms,
         "agg_percentiles": q_agg_percentiles,
@@ -4180,6 +4225,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash_h3": _simhash_h3_oracle_sql(),
         "zorder_layout": _zorder_oracle_sql(),
+        "split_assign": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS draw
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(draw AS BIGINT) AS draw,
+                   CASE WHEN draw < 922337203685477580 THEN 'train'
+                        WHEN draw < 1037629354146162278 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM d ORDER BY doc_id
+        """,
+        "hll_merge_rollup": """
+            WITH h AS (
+              SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+            ), r AS (
+              SELECT event_type,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+                     least(
+                       length(regexp_extract(substr(h, 3, 13), '^(0*)', 1)) * 4
+                       + CASE WHEN strpos('0123456789abcdef', fd) - 1 >= 8 THEN 0
+                              WHEN strpos('0123456789abcdef', fd) - 1 >= 4 THEN 1
+                              WHEN strpos('0123456789abcdef', fd) - 1 >= 2 THEN 2
+                              ELSE 3 END
+                       + 1, 30) AS rho
+              FROM (SELECT event_type, h,
+                           substr(regexp_replace(substr(h, 3, 13), '^0*', '') || 'x',
+                                  1, 1) AS fd
+                    FROM h)
+            ), regs AS (
+              SELECT event_type, bucket, max(rho) AS reg
+              FROM r GROUP BY event_type, bucket
+            ), allregs AS (
+              SELECT event_type, bucket, reg FROM regs
+              UNION ALL
+              SELECT 'ALL' AS event_type, bucket, max(reg) AS reg
+              FROM regs GROUP BY bucket
+            ), est AS (
+              SELECT event_type,
+                     CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                               / ((256 - count(*))
+                                  + CAST(sum(1::BIGINT << (31 - reg)) AS DOUBLE)
+                                    / 2147483648.0) <= 640.0
+                               AND (256 - count(*)) > 0
+                          THEN 256.0 * ln(256.0 / (256 - count(*)))
+                          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                               / ((256 - count(*))
+                                  + CAST(sum(1::BIGINT << (31 - reg)) AS DOUBLE)
+                                    / 2147483648.0)
+                     END AS est
+              FROM allregs GROUP BY event_type
+            )
+            SELECT event_type, round(est, 6) AS est_users
+            FROM est ORDER BY event_type
+        """,
         "pivot_user_events": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

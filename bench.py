@@ -228,6 +228,8 @@ def main() -> None:
             "value_histogram",
             "zorder_layout",
             "pivot_user_events",
+            "split_assign",
+            "hll_merge_rollup",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -309,8 +311,9 @@ def main() -> None:
         # non-benched stream_session_counts oracle row; others
         # unchanged); 34 = r05 (adds olap_pricing_summary,
         # scd2_intervals, value_histogram, zorder_layout,
-        # pivot_user_events + the non-benched
-        # stream_join_views_purchases oracle row; others unchanged).
+        # pivot_user_events, split_assign, hll_merge_rollup + the
+        # non-benched stream_join_views_purchases oracle row; others
+        # unchanged).
         "query_rev": 34,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),

@@ -968,3 +968,47 @@ def inverted_postings(
         .orderBy(F.col("df").desc(), "term")
         .limit(int(top_k))
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    ratios: tuple = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Deterministic train/val/test split — the last labeling step
+    before a corpus ships to training: every doc draws the 60-bit
+    integer ``conv(md5(id)[0:15], 16, 10)`` and lands in the split whose
+    EXACT integer threshold band contains it (cum_percent · 16^15 div
+    100 — no float probability anywhere), so independent runs AND
+    independent engines assign byte-identical splits with no
+    coordinator, and a doc's split never changes as the corpus grows
+    (the property a contamination-free eval set needs: train/test
+    membership is a pure function of the id).
+
+    ``ratios`` are (name, integer-percent) pairs summing to 100.
+    Output: (id, draw, split) — pure scan-side codegen, no shuffle, no
+    UDF.
+    """
+    pcts = [int(p) for _, p in ratios]
+    if sum(pcts) != 100 or any(p <= 0 for p in pcts):
+        raise ValueError("ratios must be positive integer percents summing to 100")
+    top = 16**15
+    draw = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    cum = 0
+    expr = None
+    names = [n for n, _ in ratios]
+    for name, p in ratios[:-1]:
+        cum += int(p)
+        thr = cum * top // 100
+        cond = F.col("draw") < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return docs.select(F.col(id_col), draw.alias("draw")).withColumn(
+        "split", expr
+    )

@@ -75,13 +75,11 @@ def hll_registers(df: DataFrame, group_cols: list[str], key_col: str) -> DataFra
     )
 
 
-def approx_distinct_hll(
-    df: DataFrame, group_cols: list[str], key_col: str
-) -> DataFrame:
-    """(group..., est_distinct): HyperLogLog distinct-count estimate per
-    group, deterministic across engines and partitionings. Standard
-    accuracy ~1.04/sqrt(256) = 6.5% relative error."""
-    regs = hll_registers(df, group_cols, key_col)
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., est_distinct) from a register table (group..., bucket,
+    reg) — the estimation step shared by the direct path and sketch
+    merges. Register sum is exact integer arithmetic; the standard
+    linear-counting small-range correction applies."""
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").alias("m_present"),
         F.sum(F.expr("shiftleft(1L, 31 - reg)")).alias("s_int"),
@@ -95,6 +93,30 @@ def approx_distinct_hll(
         F.lit(float(M)) * F.log(F.lit(float(M)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+def approx_distinct_hll(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """(group..., est_distinct): HyperLogLog distinct-count estimate per
+    group, deterministic across engines and partitionings. Standard
+    accuracy ~1.04/sqrt(256) = 6.5% relative error."""
+    return hll_estimate(hll_registers(df, group_cols, key_col), group_cols)
+
+
+def hll_merge(
+    regs: DataFrame, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge register sets down to ``keep_cols`` granularity by
+    register-wise max — THE distributed-sketch property: merging group
+    sketches yields registers BIT-IDENTICAL to sketching the union
+    directly, so rollups (per-host → per-TLD → global distinct-URL
+    counts) reuse stored sketches and never rescan the raw keys.
+    Input (group..., bucket, reg); output (keep..., bucket, reg).
+    Cost: one hash-agg over |groups| * 256 register rows — raw-data
+    volume never enters."""
+    keep = list(keep_cols or [])
+    return regs.groupBy(*keep, "bucket").agg(F.max("reg").alias("reg"))
 
 
 # ---------------------------------------------------------------------------
