@@ -282,29 +282,25 @@ def markov_transitions(
     refresh IS a transition — unlike the pagerank/triangle edge prep,
     which drops them; callers choose by pre-filtering).
 
-    Scale shape: one (src, dst) hash-agg with map-side combine, one
-    src-keyed re-agg of the PAIR COUNTS (never the raw edges — input to
-    the totals agg is already |distinct pairs|), and the totals join is
-    on the same src key (AQE broadcasts it when small; at 10^10 edges
-    both sides are pair/vertex-bounded, not edge-bounded). No window,
-    no UDF.
+    Scale shape: one (src, dst) hash-agg with map-side combine over the
+    edges, then the source totals as a WINDOW over the pair-count table
+    (vertex²-bounded, never edge-bounded). The totals-as-join
+    formulation recomputed the WHOLE edge lineage for the totals side
+    (observed in the clickstream query: the events scan + lag window
+    ran twice); the window form reads the pair table once and costs one
+    src-keyed exchange of pair rows. No UDF.
     """
     pc = (
         edges.groupBy(F.col(src).alias("s"), F.col(dst).alias("d"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    tot = pc.groupBy("s").agg(F.sum("n").cast("bigint").alias("n_src"))
-    return (
-        pc.join(tot, "s")
-        .select(
-            F.col("s").alias(src),
-            F.col("d").alias(dst),
-            "n",
-            "n_src",
-            F.round(
-                F.col("n").cast("double") / F.col("n_src").cast("double"), 6
-            ).alias("p"),
-        )
+    tot = F.sum("n").over(Window.partitionBy("s")).cast("bigint")
+    return pc.select(
+        F.col("s").alias(src),
+        F.col("d").alias(dst),
+        "n",
+        tot.alias("n_src"),
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6).alias("p"),
     )
 
 

@@ -101,3 +101,14 @@ def test_copageview_plan_no_selfjoin_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_transitions_single_pass_over_edges(spark):
+    """The totals must come from a window over the pair-count table —
+    the join formulation recomputed the whole edge lineage twice."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    plan = (
+        markov_transitions(edges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Scan") <= 1, plan
