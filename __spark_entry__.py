@@ -2236,9 +2236,13 @@ def q_trend_wow(spark, sf):
     every metrics dashboard runs: counts per (type, 7-epoch-day week —
     pure integer division, no calendar arithmetic), lag to the previous
     OBSERVED week (missing weeks lag to the last one seen — documented,
-    identical on both engines), exact bigint delta, 6dp ratio; first
-    week of a type carries NULLs. One hash-agg + one tiny keyed window
-    over the aggregate (group-count-sized, never event-sized)."""
+    identical on both engines), exact bigint delta, 6dp ratio; the
+    first week of a type carries 0 / 0 / 0.0 sentinels (a real previous
+    count is ≥ 1, so 0 is unambiguous — and a NULL-bearing bigint
+    column renders float64 in DuckDB's pandas path, the driver-hash
+    dtype hazard the scene-change query already hit). One hash-agg +
+    one tiny keyed window over the aggregate (group-count-sized, never
+    event-sized)."""
     e = _t(spark, sf, "events")
     wk = F.expr(
         "(unix_micros(cast(ts as timestamp)) div 86400000000) div 7"
@@ -2253,11 +2257,12 @@ def q_trend_wow(spark, sf):
             "event_type",
             "week",
             "n",
-            prev.cast("bigint").alias("n_prev"),
-            (F.col("n") - prev).cast("bigint").alias("delta"),
-            F.round(F.col("n").cast("double") / prev.cast("double"), 6).alias(
-                "ratio"
-            ),
+            F.coalesce(prev, F.lit(0)).cast("bigint").alias("n_prev"),
+            F.coalesce(F.col("n") - prev, F.lit(0)).cast("bigint").alias("delta"),
+            F.coalesce(
+                F.round(F.col("n").cast("double") / prev.cast("double"), 6),
+                F.lit(0.0),
+            ).alias("ratio"),
         )
         .orderBy("event_type", "week")
     )
@@ -3743,9 +3748,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, CAST(week AS BIGINT) AS week,
                    CAST(n AS BIGINT) AS n,
-                   CAST(lag(n) OVER w AS BIGINT) AS n_prev,
-                   CAST(n - lag(n) OVER w AS BIGINT) AS delta,
-                   round(n * 1.0 / (lag(n) OVER w), 6) AS ratio
+                   CAST(coalesce(lag(n) OVER w, 0) AS BIGINT) AS n_prev,
+                   CAST(coalesce(n - lag(n) OVER w, 0) AS BIGINT) AS delta,
+                   coalesce(round(n * 1.0 / (lag(n) OVER w), 6), 0.0) AS ratio
             FROM wc WINDOW w AS (PARTITION BY event_type ORDER BY week)
             ORDER BY event_type, week
         """,

@@ -312,8 +312,10 @@ def main() -> None:
         # unchanged); 34 = r05 (adds olap_pricing_summary,
         # scd2_intervals, value_histogram, zorder_layout,
         # pivot_user_events, split_assign, hll_merge_rollup + the
-        # non-benched stream_join_views_purchases oracle row; others
-        # unchanged).
+        # non-benched stream_join_views_purchases oracle row; ALSO
+        # changes trend_wow's warmup rows from NULLs to 0/0/0.0
+        # sentinels (NULL-bearing bigint renders float64 in DuckDB's
+        # pandas path — driver-hash dtype hazard); others unchanged).
         "query_rev": 34,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),

@@ -33,8 +33,14 @@ def _normalize(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort on repr keys: a total order even when a column carries NULLs
+    # (None < int comparisons raise); equality below still uses ==, so
+    # 5 == 5.0 keeps matching across engines. repr keys are
+    # order-isomorphic across sides as long as each side's column type
+    # is uniform — the dtype-kind check below pins exactly that.
     return sorted(
-        tuple(_normalize(row[i]) for i in idx) for row in rows
+        (tuple(_normalize(row[i]) for i in idx) for row in rows),
+        key=lambda t: tuple(repr(x) for x in t),
     )
 
 
