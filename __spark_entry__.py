@@ -556,6 +556,70 @@ def q_stream_join_views_purchases(spark, sf):
     )
 
 
+def q_stream_admission(spark, sf):
+    """§2.11 foreachBatch ADMISSION PIPELINE, hard-oracled
+    (streaming/frontier_stream.py streaming_incremental_admission): the
+    documents corpus plus planted re-fetches (doc_id % 7 == 2 re-arrive
+    under id+10^6) split into three micro-batch files by doc_id % 3
+    (mtime-ordered), streamed one file per trigger; each batch is
+    classified exact/near/unique against the ACCUMULATED accepted
+    corpus and only unique docs join it. The DuckDB oracle replays the
+    sequential three-stage process in SQL (norm-equality + exact
+    all-pairs shingle Jaccard vs the evolving accepted set) —
+    independent of the engine's LSH candidate path (cap lifted)."""
+    import hashlib
+    import os
+    import shutil as sh_
+
+    from mediacrawler_spark.streaming.frontier_stream import (
+        streaming_incremental_admission,
+    )
+
+    base = f"/tmp/mcs_adm_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    sh_.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    ref = d.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    allp = d.unionByName(ref)
+    for k in range(3):
+        stage = f"{base}/stage{k}"
+        allp.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = f"{base}/src/b{k}.parquet"
+        sh_.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1000 + k, 1000 + k))
+    sch = spark.read.parquet(f"{base}/src/b0.parquet").schema
+    name = "stream_admission"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = streaming_incremental_admission(
+        stream, f"{base}/state", threshold=0.8, query_name=name
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/state/decisions")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "status",
+            F.col("match_id").cast("bigint"),
+            F.col("batch_id").cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---- training-data pipeline ops -------------------------------------------
 def q_dedup_exact_count(spark, sf):
     """Exact dedup: distinct normalized-text fingerprints (md5 for
@@ -2414,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_session_counts": q_stream_session_counts,
         "stream_join_views_purchases": q_stream_join_views_purchases,
+        "stream_admission": q_stream_admission,
         "dedup_exact_count": q_dedup_exact_count,
         "txt_stats": q_txt_stats,
         "txt_token_counts": q_txt_token_counts,
@@ -3035,6 +3100,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) + 14400000000 AS BIGINT) AS end_us,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY k, sess ORDER BY user_id, start_us
+        """,
+        "stream_admission": r"""
+            WITH d0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 1000000 AS BIGINT), text
+              FROM documents WHERE doc_id % 7 = 2
+            ), d AS (
+              SELECT doc_id, text,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                     CAST(doc_id % 3 AS BIGINT) AS b
+              FROM d0
+            ), t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS toks
+              FROM d
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            jp AS (
+              SELECT a.doc_id AS ia, c.doc_id AS ib, count(*) AS k
+              FROM sh a JOIN sh c ON a.s = c.s AND a.doc_id <> c.doc_id
+              GROUP BY 1, 2
+            ), np AS (
+              SELECT jp.ia, jp.ib FROM jp
+              JOIN sizes sa ON sa.doc_id = jp.ia
+              JOIN sizes sb ON sb.doc_id = jp.ib
+              WHERE jp.k * 1.0 / (sa.n + sb.n - jp.k) >= 0.8
+            ), ep AS (
+              SELECT x.doc_id AS ia, y.doc_id AS ib
+              FROM d x JOIN d y ON x.norm = y.norm AND x.doc_id <> y.doc_id
+            ),
+            acc0 AS (SELECT doc_id FROM d WHERE b = 0),
+            ex1 AS (
+              SELECT ep.ia AS doc_id, min(ep.ib) AS m
+              FROM ep JOIN acc0 ON acc0.doc_id = ep.ib
+              JOIN d di ON di.doc_id = ep.ia
+              WHERE di.b = 1 GROUP BY 1),
+            nr1 AS (
+              SELECT np.ia AS doc_id, min(np.ib) AS m
+              FROM np JOIN acc0 ON acc0.doc_id = np.ib
+              JOIN d di ON di.doc_id = np.ia
+              WHERE di.b = 1 GROUP BY 1),
+            u1 AS (
+              SELECT doc_id FROM d WHERE b = 1
+              AND doc_id NOT IN (SELECT doc_id FROM ex1)
+              AND doc_id NOT IN (SELECT doc_id FROM nr1)),
+            acc1 AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM u1),
+            ex2 AS (
+              SELECT ep.ia AS doc_id, min(ep.ib) AS m
+              FROM ep JOIN acc1 ON acc1.doc_id = ep.ib
+              JOIN d di ON di.doc_id = ep.ia
+              WHERE di.b = 2 GROUP BY 1),
+            nr2 AS (
+              SELECT np.ia AS doc_id, min(np.ib) AS m
+              FROM np JOIN acc1 ON acc1.doc_id = np.ib
+              JOIN d di ON di.doc_id = np.ia
+              WHERE di.b = 2 GROUP BY 1)
+            SELECT doc_id, 'unique' AS status,
+                   CAST(-1 AS BIGINT) AS match_id, b AS batch_id
+            FROM d WHERE b = 0
+            UNION ALL
+            SELECT d.doc_id,
+                   CASE WHEN ex1.m IS NOT NULL THEN 'exact'
+                        WHEN nr1.m IS NOT NULL THEN 'near'
+                        ELSE 'unique' END,
+                   CAST(coalesce(ex1.m, nr1.m, -1) AS BIGINT), d.b
+            FROM d
+            LEFT JOIN ex1 ON ex1.doc_id = d.doc_id
+            LEFT JOIN nr1 ON nr1.doc_id = d.doc_id
+            WHERE d.b = 1
+            UNION ALL
+            SELECT d.doc_id,
+                   CASE WHEN ex2.m IS NOT NULL THEN 'exact'
+                        WHEN nr2.m IS NOT NULL THEN 'near'
+                        ELSE 'unique' END,
+                   CAST(coalesce(ex2.m, nr2.m, -1) AS BIGINT), d.b
+            FROM d
+            LEFT JOIN ex2 ON ex2.doc_id = d.doc_id
+            LEFT JOIN nr2 ON nr2.doc_id = d.doc_id
+            WHERE d.b = 2
+            ORDER BY doc_id
         """,
         "stream_join_views_purchases": """
             SELECT CAST(v.user_id AS BIGINT) AS user_id,

@@ -89,3 +89,84 @@ def streaming_host_rate(candidates: DataFrame, ts_col: str = "ts",
         .agg(F.count("*").alias("n_urls"))
         .select(F.col("w.start").alias("w_start"), "host", "n_urls")
     )
+
+
+def streaming_incremental_admission(
+    source: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 1 << 20,
+    query_name: str = "incremental_admission",
+):
+    """The ADMISSION PIPELINE as a stream: every micro-batch of fetched
+    documents is classified against the ACCUMULATED accepted corpus
+    (``text_dedup.dedup_incremental``: exact fingerprint / near
+    shingle-Jaccard / unique), its decisions are appended to
+    ``<state_dir>/decisions`` (with the micro-batch id), and only the
+    unique docs join ``<state_dir>/corpus`` — the foreachBatch face of
+    the engine's per-epoch seen-dedup loop, with document-level
+    semantics instead of URL-level.
+
+    foreachBatch is the right tool (not a stateful operator): the
+    per-batch work is a full batch dataflow (cross-frame LSH + joins)
+    over an out-of-band corpus table, exactly the Iceberg-append
+    pattern a production ingestion stream runs. Batches run
+    SEQUENTIALLY, so the decisions are a deterministic function of the
+    batch arrival order — the caller pins that order (file mtimes) and
+    the entry-harness oracle replays the same sequential process in
+    SQL.
+
+    Returns the started StreamingQuery (availableNow); caller awaits.
+    """
+    import os
+
+    from mediacrawler_spark.operators.text_dedup import dedup_incremental
+
+    corpus_dir = os.path.join(state_dir, "corpus")
+    dec_dir = os.path.join(state_dir, "decisions")
+    ckpt = os.path.join(state_dir, "checkpoint")
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        inc = batch.select(F.col(id_col), F.col(text_col))
+        has_base = os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        )
+        if has_base:
+            base = spark.read.parquet(corpus_dir)
+            res = dedup_incremental(
+                base,
+                inc,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+        else:
+            res = inc.select(
+                F.col(id_col),
+                F.lit("unique").alias("status"),
+                F.lit(-1).cast("bigint").alias("match_id"),
+            )
+        res = res.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("bigint")
+        ).persist()
+        res.write.mode("append").parquet(dec_dir)
+        (
+            inc.join(
+                res.filter(F.col("status") == "unique").select(id_col), id_col
+            )
+            .write.mode("append")
+            .parquet(corpus_dir)
+        )
+        res.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
