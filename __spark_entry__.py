@@ -2295,6 +2295,51 @@ def q_graph_pagerank(spark, sf):
     return pagerank(edges, n_iter=5).orderBy("node")
 
 
+def q_rfm_segments(spark, sf):
+    """RFM quartile segmentation — the classic customer-analytics
+    window query: per user recency (last-activity micros), frequency
+    (event count), monetary (purchase cents, exact bigint), each cut
+    into ntile(4) quartiles with a deterministic user_id tiebreak (ntile
+    is the standard front-loaded row split — identical in Spark and
+    DuckDB given a total order), composed into the familiar 3-digit
+    segment code. The windows run over the per-user AGGREGATE (one
+    event-volume hash-agg, then |users| rows)."""
+    e = _t(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.expr("unix_micros(cast(ts as timestamp))"))
+        .cast("bigint")
+        .alias("last_us"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r_w = W.orderBy(F.col("last_us").desc(), "user_id")
+    f_w = W.orderBy(F.col("freq").desc(), "user_id")
+    m_w = W.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return (
+        per_user.withColumn("r", F.ntile(4).over(r_w).cast("int"))
+        .withColumn("f", F.ntile(4).over(f_w).cast("int"))
+        .withColumn("m", F.ntile(4).over(m_w).cast("int"))
+        .select(
+            "user_id",
+            "last_us",
+            "freq",
+            "monetary_cents",
+            "r",
+            "f",
+            "m",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_trend_wow(spark, sf):
     """Week-over-week trend per event type — the period-comparison query
     every metrics dashboard runs: counts per (type, 7-epoch-day week —
@@ -2515,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitions": q_graph_transitions,
         "graph_copageview": q_graph_copageview,
         "trend_wow": q_trend_wow,
+        "rfm_segments": q_rfm_segments,
         "embedding_incremental": q_embedding_incremental,
         "rolling_dau_7d": q_rolling_dau,
         "search_postings": q_search_postings,
@@ -3888,6 +3934,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(best.cos, 0.0) AS cosine
             FROM inc i LEFT JOIN best ON best.iv = i.vec_id
             ORDER BY vec_id
+        """,
+        "rfm_segments": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+                          AS BIGINT) AS monetary_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id, last_us, freq,
+                   monetary_cents,
+                   CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id) AS INTEGER) AS r,
+                   CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INTEGER) AS f,
+                   CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m,
+                   CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id) * 100
+                        + ntile(4) OVER (ORDER BY freq DESC, user_id) * 10
+                        + ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                        AS INTEGER) AS segment
+            FROM pu ORDER BY user_id
         """,
         "trend_wow": """
             WITH wc AS (

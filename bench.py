@@ -230,6 +230,7 @@ def main() -> None:
             "pivot_user_events",
             "split_assign",
             "hll_merge_rollup",
+            "rfm_segments",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -311,8 +312,9 @@ def main() -> None:
         # non-benched stream_session_counts oracle row; others
         # unchanged); 34 = r05 (adds olap_pricing_summary,
         # scd2_intervals, value_histogram, zorder_layout,
-        # pivot_user_events, split_assign, hll_merge_rollup + the
-        # non-benched stream_join_views_purchases oracle row; ALSO
+        # pivot_user_events, split_assign, hll_merge_rollup,
+        # rfm_segments + the non-benched stream_join_views_purchases
+        # and stream_admission oracle rows; ALSO
         # changes trend_wow's warmup rows from NULLs to 0/0/0.0
         # sentinels (NULL-bearing bigint renders float64 in DuckDB's
         # pandas path — driver-hash dtype hazard); others unchanged).
