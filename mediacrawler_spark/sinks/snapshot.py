@@ -950,6 +950,83 @@ class SnapshotCatalog:
         self.commit(self.committed_epoch())
         return len(labels) - len(keep)
 
+    def delete_where(self, table: str, condition) -> int:
+        """Row-level DELETE on an append table — the Iceberg
+        copy-on-write ``DELETE WHERE`` analog, and concretely the
+        right-to-be-forgotten pass a training-data pipeline must be able
+        to run (drop every document from a user/host across the corpus):
+        each retained increment that CONTAINS matching rows is rewritten
+        without them into a fresh ``c<epoch>_<n>`` dir; untouched
+        increments keep their pins unchanged (the per-dir match count is
+        one small job scanning only the condition's columns, and the dir
+        count is bounded by compaction at max_dirs + tier_fanout — this
+        is the file-skip step of a real engine's DELETE).
+
+        Semantics match SQL DELETE: rows where ``condition`` is TRUE are
+        removed; FALSE and NULL rows are kept (``~coalesce(cond,
+        false)``). ``condition`` is a SQL string or a Column.
+
+        Atomicity follows the compaction contract (refused with pending
+        staged state) but the commit is at ``committed_epoch() + 1`` —
+        unlike compaction, a DELETE CHANGES content, so it must be a new
+        snapshot (Iceberg's DELETE creates a new snapshot too; a
+        same-epoch swap would shadow the last pre-delete view). Every
+        pre-delete epoch therefore stays time-travelable until
+        ``expire_versions`` collects the replaced dirs — exactly how an
+        Iceberg DELETE remains readable until ``expire_snapshots``; a
+        resumed engine simply continues after the delete epoch. Returns
+        the number of rows deleted.
+        """
+        from pyspark.sql import Column
+
+        if (
+            self._pending
+            or self._pending_appends
+            or self._pending_parts
+            or self._pending_drops
+        ):
+            raise RuntimeError("delete_where with uncommitted staged state")
+        if table in self._versions or table in self._ptables:
+            raise ValueError(
+                "delete_where supports append tables only — rewrite "
+                "replace/partitioned tables through stage/stage_parts"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if not isinstance(cond, Column):
+            raise TypeError("condition must be a SQL string or a Column")
+        labels = [str(x) for x in self._appends.get(table, [])]
+        if not labels:
+            return 0
+        epoch = self.committed_epoch()
+        existing = set(labels)
+        deleted = 0
+        new_labels: list[str] = []
+        for lab in labels:
+            path = os.path.join(self.root, table, f"e={lab}")
+            df = self._read_append_dirs([path])
+            n_match = df.filter(cond).count()
+            if n_match == 0:
+                new_labels.append(lab)
+                continue
+            deleted += n_match
+            kept = df.filter(~F.coalesce(cond, F.lit(False)))
+            n = 0
+            while (newlab := f"c{epoch}_{n}") in existing:
+                n += 1
+            existing.add(newlab)
+            out = os.path.join(self.root, table, f"e={newlab}")
+            kept_count = kept.count()
+            if kept_count == 0:
+                continue  # fully-deleted increment: label simply vanishes
+            kept.write.mode("overwrite").parquet(out)
+            self._write_dir_schema(out, kept)
+            new_labels.append(newlab)
+        if deleted == 0:
+            return 0  # nothing matched: no rewrite happened, no commit needed
+        self._appends[table] = sorted(new_labels)
+        self.commit(epoch + 1)  # a NEW snapshot: content changed
+        return deleted
+
     def _recent_commits(self, n: int) -> list[dict]:
         """The last ``n`` complete commit records (oldest first). Bounded
         by roll_log: the file never holds more than ~max_lines records in
