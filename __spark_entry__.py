@@ -2295,6 +2295,76 @@ def q_graph_pagerank(spark, sf):
     return pagerank(edges, n_iter=5).orderBy("node")
 
 
+def q_topk_terms_by_lang(spark, sf):
+    """Grouped top-k (§2.6): the 5 most frequent terms PER language —
+    the per-group ranking shape (rank window over the aggregate with a
+    deterministic (count desc, term asc) tiebreak) that global top-20
+    (a1_wordcount) can't express. The window runs over the (lang, term)
+    AGGREGATE — the event-volume work is one hash-agg; the rank
+    exchange moves |vocab| rows."""
+    from mediacrawler_spark.functions.textual import tokens
+
+    d = _t(spark, sf, "documents")
+    tc = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        tc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
+
+
+def q_trending_decay(spark, sf):
+    """Time-decayed trending score with EXACT arithmetic — the
+    freshness-weighted popularity feed (crawl re-visit priority,
+    trending pages): each event contributes 2^-age_weeks, kept exact as
+    the bigint numerator 2^(30 - min(age, 30)) over the FIXED 2^30
+    denominator (age is integer epoch-weeks, so no float pow/exp — the
+    usual engine-divergence hazard of decay scores — enters until ONE
+    final 6dp division; events older than 30 weeks truncate to 0 —
+    2^-30 is below 6dp resolution — and the fixed cap keeps the per-page
+    numerator SUM 64-bit-safe past 8 billion events per page at any
+    data age). Top 20 pages. One
+    page-keyed hash-agg; the single-row max-week broadcast folds into
+    the scan-side expression."""
+    e = _t(spark, sf, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    wk = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 86400000000) div 7"
+    ).cast("long")
+    ev = e.select(page.alias("page"), wk.alias("week")).filter(
+        F.col("page").isNotNull()
+    )
+    bounds = ev.agg(F.max("week").alias("_maxw"))
+    withb = ev.crossJoin(F.broadcast(bounds))
+    num = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "greatest(30 - CAST(_maxw - week AS INT), 0))"
+    )
+    den = float(1 << 30)
+    return (
+        withb.groupBy("page")
+        .agg(
+            F.sum(num).cast("bigint").alias("score_num"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "page",
+            "score_num",
+            "n_events",
+            F.round(F.col("score_num").cast("double") / F.lit(den), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score_num").desc(), "page")
+        .limit(20)
+    )
+
+
 def q_rfm_segments(spark, sf):
     """RFM quartile segmentation — the classic customer-analytics
     window query: per user recency (last-activity micros), frequency
@@ -2561,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_copageview": q_graph_copageview,
         "trend_wow": q_trend_wow,
         "rfm_segments": q_rfm_segments,
+        "topk_terms_by_lang": q_topk_terms_by_lang,
+        "trending_decay": q_trending_decay,
         "embedding_incremental": q_embedding_incremental,
         "rolling_dau_7d": q_rolling_dau,
         "search_postings": q_search_postings,
@@ -3934,6 +4006,42 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(best.cos, 0.0) AS cosine
             FROM inc i LEFT JOIN best ON best.iv = i.vec_id
             ORDER BY vec_id
+        """,
+        "topk_terms_by_lang": r"""
+            WITH tc AS (
+              SELECT lang, t.term, count(*) AS n
+              FROM (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+              ) t GROUP BY lang, t.term
+            )
+            SELECT lang, term, CAST(n AS BIGINT) AS n,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (
+              SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, term) AS rnk
+              FROM tc
+            ) WHERE rnk <= 5 ORDER BY lang, rnk
+        """,
+        "trending_decay": """
+            WITH ev AS (
+              SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS page,
+                     (epoch_us(ts) // 86400000000) // 7 AS week
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL
+            ), mx AS (SELECT max(week) AS maxw FROM ev)
+            SELECT CAST(page AS BIGINT) AS page,
+                   CAST(sum(1::BIGINT << greatest(30 - CAST(maxw - week AS INTEGER), 0))
+                        AS BIGINT) AS score_num,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(1::BIGINT << greatest(30 - CAST(maxw - week AS INTEGER), 0))
+                         * 1.0 / 1073741824.0, 6) AS score
+            FROM ev, mx GROUP BY page
+            ORDER BY score_num DESC, page LIMIT 20
         """,
         "rfm_segments": """
             WITH pu AS (

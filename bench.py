@@ -231,6 +231,8 @@ def main() -> None:
             "split_assign",
             "hll_merge_rollup",
             "rfm_segments",
+            "topk_terms_by_lang",
+            "trending_decay",
         ]
         for name in bench_queries:
             t0 = time.perf_counter()
@@ -317,8 +319,10 @@ def main() -> None:
         # and stream_admission oracle rows; ALSO
         # changes trend_wow's warmup rows from NULLs to 0/0/0.0
         # sentinels (NULL-bearing bigint renders float64 in DuckDB's
-        # pandas path — driver-hash dtype hazard); others unchanged).
-        "query_rev": 34,
+        # pandas path — driver-hash dtype hazard); others unchanged);
+        # 35 = r05 (adds topk_terms_by_lang, trending_decay; others
+        # unchanged).
+        "query_rev": 35,
         "host_calib_sec": host_calibration(),
         "host_calib_mc_sec": host_calibration_mc(),
     }
