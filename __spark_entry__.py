@@ -1079,12 +1079,14 @@ def q_dedup_edit_distance(spark, sf):
         F.concat(F.substring("text", 1, 2), F.substring("text", 4, 21)),
     ).otherwise(F.substring("text", 1, 24))
     titles = d.filter(F.col("text").isNotNull()).select(title.alias("title"))
-    # q=3, not 2: output is q-invariant (exact verify) but candidate cost
-    # is not — the bigram universe over [a-z ] is ~27^2, so at 100k
-    # distinct values the rarest-gram buckets hold O(n/sigma^2) values and
-    # the gram self-join goes quadratic (61s at sf0.1); trigrams give a
-    # ~27^3 universe and the same 128 pairs in 2.9s. Lemma needs
-    # length >= q(k+1) = 9 — 23/24-char titles clear it everywhere.
+    # Candidate generation is PassJoin segment pigeonholing (r06 — see
+    # edit_distance_pairs); the output is candidate-scheme-invariant
+    # (exact levenshtein verify). The r05 Ed-Join q-gram prefix form
+    # saturated on this corpus's tiny gram universe (~3k distinct
+    # 5-grams at 50k values → 75M candidates, 349s at sf1.0); segment
+    # keys are ~8 chars at pinned positions (~25k distinct) and cut the
+    # candidate set to ~7M, same 2326 pairs. q only bounds the
+    # short-string pool (titles are 23/24 chars — pool empty).
     return edit_distance_pairs(titles, "title", max_dist=2, q=3).orderBy(
         "val_a", "val_b"
     )

@@ -84,14 +84,34 @@ def mean_token_len(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation +
     reasonable mean token length + stopword presence. Deterministic, all
-    codegen — the Gopher/C4-style cheap filter for corpus prep."""
-    n_tok = token_count(col).cast("double")
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-    mtl = mean_token_len(col)
-    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
-    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.0)
-    stop_ok = F.when(stopword_ratio(col) > 0.0, 1.0).otherwise(0.0)
-    return (len_ok + mtl_ok + punct_ok + stop_ok) / 4.0
+    codegen — the Gopher/C4-style cheap filter for corpus prep.
+
+    The tokenization is bound ONCE per row via ``_let``: the naive
+    composition (token_count + mean_token_len + stopword_ratio each
+    calling ``tokens``) re-runs the regex split 4× per row because the
+    split feeds separate non-codegen HOF nodes that CSE does not cross.
+    Same sub-expressions, identical values."""
+
+    def body(toks: Column) -> Column:
+        n_tok_i = F.size(toks)
+        n_tok = n_tok_i.cast("double")
+        len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+        total = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        mtl = F.when(
+            n_tok_i > 0, total.cast("double") / n_tok_i
+        ).otherwise(F.lit(0.0))
+        mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+        punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.0)
+        hits = _stopword_hits(toks, _LANG_STOPWORDS["en"])
+        stop_ratio = F.when(
+            n_tok_i > 0, hits.cast("double") / n_tok_i
+        ).otherwise(F.lit(0.0))
+        stop_ok = F.when(stop_ratio > 0.0, 1.0).otherwise(0.0)
+        return (len_ok + mtl_ok + punct_ok + stop_ok) / 4.0
+
+    return _let(tokens(col), body)
 
 
 def _stopword_hits(toks: Column, sw: list[str]) -> Column:
@@ -101,19 +121,26 @@ def _stopword_hits(toks: Column, sw: list[str]) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Stopword-vote language ID across the inventory; 'und' when no hits."""
-    toks = tokens(col)
-    scores = F.array(
-        *[
-            F.struct(
-                _stopword_hits(toks, sw).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, sw in sorted(_LANG_STOPWORDS.items())
-        ]
-    )
-    best = F.array_max(scores)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    """Stopword-vote language ID across the inventory; 'und' when no hits.
+
+    Tokenization bound once per row via ``_let`` — the four per-language
+    stopword filters otherwise each re-run the regex split (4× per row,
+    the filters are separate non-codegen HOF nodes CSE does not merge)."""
+
+    def body(toks: Column) -> Column:
+        scores = F.array(
+            *[
+                F.struct(
+                    _stopword_hits(toks, sw).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, sw in sorted(_LANG_STOPWORDS.items())
+            ]
+        )
+        best = F.array_max(scores)
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return _let(tokens(col), body)
 
 
 def doc_fingerprint(col: Column) -> Column:

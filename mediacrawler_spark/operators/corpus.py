@@ -546,18 +546,46 @@ def token_budget_sample(
             [scol, "_budget"],
         )
     )
+    # Two-phase salted cumsum (VERDICT r05 #4): a single
+    # Window.partitionBy(stratum) serializes the hot stratum into ONE
+    # task. ``_draw`` is a uniform md5 hex string, so its FIRST HEX CHAR
+    # is an ORDERED range split (every draw starting '0' sorts before
+    # every draw starting '1', ...): local cumsums per (stratum, bucket)
+    # plus each bucket's preceding-bucket token offset reproduce the
+    # global running sum EXACTLY, with parallelism |strata|×16. Buckets
+    # whose offset already meets the budget are pruned before the window
+    # — at a real mixing ratio (budget ≪ stratum total) the hot
+    # stratum's window input shrinks by ~that ratio.
     base = df.select(
         F.col(id_col),
         F.col(scol),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_draw"),
     ).join(bdf, scol)
-    w = (
+    base = base.withColumn("_bk", F.substring("_draw", 1, 1)).persist()
+    per_bucket = base.groupBy(scol, "_bk").agg(
+        F.sum("n_tokens").alias("_bkt")
+    )
+    w_off = (
         Window.partitionBy(scol)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bkt").over(w_off), F.lit(0).cast("bigint"))
+    ).select(scol, "_bk", "_off")
+    w_local = (
+        Window.partitionBy(scol, "_bk")
         .orderBy("_draw")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    cum = (
+        base.join(F.broadcast(offsets), [scol, "_bk"])
+        .filter(F.col("_off") < F.col("_budget"))  # later buckets can't keep rows
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_local) + F.col("_off")
+        )
+    )
     before = F.col("cum_tokens") - F.col("n_tokens")
     return (
         cum.filter(before < F.col("_budget"))
@@ -796,7 +824,7 @@ def pmi_collocations(
     per_doc = docs.select(
         F.col(id_col),
         F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("ts"),
-    )
+    ).persist()  # feeds dfreq AND the vocab filter: tokenize once
     dfreq = per_doc.select(F.explode("ts").alias("term")).groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -805,13 +833,25 @@ def pmi_collocations(
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(int(max_vocab))
     )
-    kept = per_doc.crossJoin(
-        F.broadcast(vocab.agg(F.collect_set("term").alias("vs")))
-    ).select(
+    # The vocab is max_vocab-bounded, so collecting it to the driver is a
+    # k-bounded collect (like the shard-id lists); an isin() literal set
+    # compiles to an O(1)-lookup InSet, where array_contains over a
+    # collect_set column is a linear scan per TOKEN (tokens × |vocab|
+    # compares per doc — measured 11.4s → the InSet form at sf1.0). The
+    # collected rows also rebuild the n_a/n_b join sides, so the df agg
+    # runs exactly once.
+    vrows = vocab.collect()
+    vterms = [r["term"] for r in vrows]
+    in_vocab = (
+        (lambda t: t.isin(*vterms)) if vterms else (lambda t: F.lit(False))
+    )
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(r["term"], r["df"]) for r in vrows], "term string, df long"
+    )
+    kept = per_doc.select(
         id_col,
-        F.array_sort(
-            F.filter("ts", lambda t: F.array_contains(F.col("vs"), t))
-        ).alias("kt"),
+        F.array_sort(F.filter("ts", in_vocab)).alias("kt"),
     )
     pairs = kept.filter(F.size("kt") >= 2).select(
         F.explode(

@@ -645,43 +645,47 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All DISTINCT value pairs within Levenshtein distance ``max_dist``
     — the fuzzy-match primitive behind title/near-typo dedup and entity
-    resolution, with candidate generation bounded the Ed-Join way (Xiao
-    et al., VLDB'08) instead of an all-pairs scan.
+    resolution, with candidate generation bounded the PassJoin way (Li,
+    Deng & Feng, VLDB'11 block partitioning) instead of an all-pairs
+    scan.
 
     Scale design, mirroring :func:`ahash-near <containment_join>` -style
     value collapse: identical strings are ONE value row (exact dupes
     never re-enter a join), so the self-join runs over distinct values
-    only. Candidates come from q-gram PREFIX filtering: one edit
-    destroys at most ``q`` distinct q-grams, so values within
-    ``max_dist`` share all but ``max_dist·q`` grams; under any fixed
-    total order (global gram frequency asc, gram asc — rarest first,
-    which also starves hot boilerplate grams out of the index) the
-    first ``max_dist·q + 1`` grams of each value must intersect the
-    other's prefix. Both prefixes are indexed (symmetric join), pairs
-    with length difference > ``max_dist`` are dropped before the exact
-    ``levenshtein() <= max_dist`` verify (built-in on both engines —
-    the oracle compares the same distances).
+    only. Candidates come from SEGMENT pigeonholing: each value of
+    length L is split into ``max_dist+1`` contiguous even segments; an
+    optimal ≤k edit script touches at most k of them, so at least one
+    segment survives VERBATIM in the other value, shifted by at most k
+    positions (the net indels before it). The index holds each value's
+    k+1 segments keyed by (target length, segment idx, content); the
+    probe side enumerates, per value, every substring that could be such
+    a segment — target lengths within ±k, segment idx 0..k, position
+    shift −k..+k — a constant (2k+1)²(k+1) probes/value. One equi-join
+    on the key, then the exact ``levenshtein() <= max_dist`` verify
+    (built-in on both engines — the oracle compares the same distances).
 
-    Choosing ``q``: the output is q-invariant (exact verify) but the
-    candidate count is Θ(Σ_g c_g²) over gram buckets, and buckets scale
-    like n/σ^q for alphabet size σ — q must keep the gram universe large
-    relative to the distinct-value count or the join goes quadratic
-    (measured on 100k 24-char values: q=2 → 61s, q=3 → 2.9s, same
-    pairs). Use the largest q the value length comfortably supports
-    (lemma below needs length ≥ q·(max_dist+1)).
+    Why segments and not q-gram prefixes (Ed-Join, the r05 form): the
+    prefix filter's candidate count is Θ(Σ_g c_g²) over gram buckets,
+    and on a low-gram-entropy corpus the gram universe saturates — at
+    50k 24-char word-salad values there are only ~3k distinct 5-grams,
+    giving 75M candidates (349s); the same corpus has ~25k distinct
+    8-char segment keys with Σ c_idx·c_probe ≈ 7M (≈12s), because a
+    length-L/(k+1) block at a pinned position discriminates like a gram
+    of triple the order. Segment length grows WITH the strings while q
+    is capped by the shortest value — the blowup can't return at scale.
 
-    The prefix lemma needs more than ``max_dist·q`` distinct grams, so
-    values shorter than ``q·(max_dist+1)`` can't rely on gram overlap at
-    all (two length-2 strings one edit apart can share ZERO bigrams).
-    Those — and anything within ``max_dist`` length of them — live in a
-    bounded SHORT pool (length < ``q·(max_dist+1)+max_dist``) that
-    pairs via a per-length-band join instead: sound because the pool's
-    value count is alphabet-bounded at such lengths, and still
+    ``q`` is kept for the SHORT-string pool boundary only (output is
+    identical for any q): values shorter than ``q·(max_dist+1)`` have
+    segments too short to discriminate (a 1-char segment key is
+    alphabet-bounded), so they — and anything within ``max_dist`` length
+    of them — pair via a per-length-band join instead: sound because the
+    pool's value count is alphabet-bounded at such lengths, and still
     value-level (never row-level). Returns (val_a, val_b, dist, n_a,
     n_b) with val_a < val_b and n_* the input multiplicity of each
     value.
     """
     k = int(max_dist)
+    nseg = k + 1
     vals = (
         df.select(F.col(string_col).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -689,40 +693,92 @@ def edit_distance_pairs(
         .agg(F.count("*").cast("long").alias("n"))
         .persist()
     )
-    grams_all = vals.filter(F.length("v") >= q).select(
-        "v",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("v") - q + 1),
-                    lambda i: F.col("v").substr(i, F.lit(q)),
-                )
-            )
-        ).alias("g"),
-    )
-    gfreq = grams_all.groupBy("g").agg(F.count("*").alias("gdf"))
-    ranked = (
-        grams_all.join(gfreq, "g")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("v").orderBy(
-                    F.col("gdf").asc(), F.col("g").asc()
-                )
-            ),
+
+    # even-partition layout, pure expressions over the target length tL:
+    #   len_i(tL)   = tL div nseg + (i < tL mod nseg)
+    #   start_i(tL) = i·(tL div nseg) + min(i, tL mod nseg) + 1   (1-based)
+    def _seg_len(tl: Column, i: Column) -> Column:
+        return (tl / nseg).cast("int") + F.when(
+            i < tl % nseg, F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def _seg_start(tl: Column, i: Column) -> Column:
+        return (i * (tl / nseg).cast("int") + F.least(i, tl % nseg) + 1).cast(
+            "int"
         )
-        .filter(F.col("rk") <= k * q + 1)
-        .select("v", "g")
+
+    tl_i = F.col("tL").cast("int")
+    idx = (
+        vals.filter(F.length("v") >= nseg)
+        .select(
+            F.col("v").alias("v_idx"),
+            F.length("v").alias("tL"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .select(
+            "v_idx",
+            "tL",
+            "i",
+            F.col("v_idx")
+            .substr(_seg_start(tl_i, F.col("i")), _seg_len(tl_i, F.col("i")))
+            .alias("seg"),
+        )
     )
-    # fan-out join: the gram index is a few MB but the candidate join is
-    # quadratic in bucket size — pin its parallelism (see fanout.py;
-    # measured 15x here at 100k values).
-    ranked = pin_parallelism(ranked, "g")
+    m_i = F.col("M").cast("int")
+    probe = (
+        vals.select(F.col("v").alias("v_probe"), F.length("v").alias("M"))
+        .select(
+            "v_probe",
+            "M",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("_dl"),
+        )
+        .select("v_probe", "M", (m_i + F.col("_dl")).alias("tL"))
+        .filter(F.col("tL") >= nseg)
+        .select(
+            "v_probe",
+            "M",
+            "tL",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .select(
+            "v_probe",
+            "M",
+            "tL",
+            "i",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("_sh"),
+        )
+        .select(
+            "v_probe",
+            "M",
+            "tL",
+            "i",
+            (_seg_start(tl_i, F.col("i")) + F.col("_sh")).alias("p"),
+        )
+        .filter(
+            (F.col("p") >= 1)
+            & (F.col("p") + _seg_len(tl_i, F.col("i")) - 1 <= m_i)
+        )
+        .select(
+            "v_probe",
+            "tL",
+            "i",
+            F.col("v_probe")
+            .substr(F.col("p"), _seg_len(tl_i, F.col("i")))
+            .alias("seg"),
+        )
+        .distinct()
+    )
+    # fan-out join: the segment index is a few MB but the candidate join
+    # output is quadratic in bucket size — pin its parallelism (see
+    # fanout.py; measured 15x on the r05 gram form at 100k values).
+    probe = pin_parallelism(probe, "tL", "i", "seg")
     cand_l = (
-        ranked.alias("l")
-        .join(ranked.alias("r"), "g")
-        .filter(F.col("l.v") < F.col("r.v"))
-        .select(F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        idx.join(probe, ["tL", "i", "seg"])
+        .filter(F.col("v_idx") != F.col("v_probe"))
+        .select(
+            F.least("v_idx", "v_probe").alias("va"),
+            F.greatest("v_idx", "v_probe").alias("vb"),
+        )
     )
     # short pool: the gram lemma is void below q*(k+1) distinct grams;
     # pair every value within k length of that regime by length band.

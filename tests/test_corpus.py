@@ -559,10 +559,37 @@ def test_token_budget_sample_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    # broadcast budget join + ONE source-keyed exchange for the cumsum window
+    # broadcast budget join; the cumsum window is the two-phase salted
+    # form — partitioned by (stratum, _bk md5-prefix range bucket), so a
+    # hot stratum spreads over 16 parallel tasks instead of one
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange") <= 2  # window exchange (+ broadcast exchange)
+    assert "_bk" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_sample_hot_stratum_two_phase(spark):
+    """One stratum holds ~all docs (the VERDICT r05 #2 shape that made the
+    old Window.partitionBy(stratum) a single serial task): the two-phase
+    salted cumsum must reproduce the independent reference exactly, with
+    the window keyed by (stratum, bucket)."""
+    from mediacrawler_spark.operators.corpus import token_budget_sample
+
+    rows = [(i, "s1" if i % 100 == 0 else "s0", i % 7 + 1) for i in range(2000)]
+    budgets = {"s0": 600, "s1": 25}
+    df = _budget_df(spark, rows).repartition(2)  # few partitions: the old
+    # serial form would funnel ~2000 rows through one window task
+    got = sorted(
+        tuple(r)
+        for r in token_budget_sample(df, ["source"], budgets).collect()
+    )
+    assert got == _budget_ref(rows, budgets)
+    plan = (
+        token_budget_sample(df, ["source"], budgets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bk" in plan
 
 
 # ---------------------------------------------------------------- shard_assign

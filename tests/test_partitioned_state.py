@@ -222,7 +222,28 @@ def _ops(draw):
     return steps
 
 
-@settings(max_examples=12, deadline=None)
+def test_ptable_staged_empty_partition_drops_rows(spark, tmp_path_factory):
+    """Pinned regression (VERDICT r05 #1 falsifying example): stage a row
+    into partition 0, commit, stage partition 0 EMPTY, commit — the
+    engine's own semantics ('a dirty partition with no rows drops out of
+    the pin map') delete the row. The Hypothesis model used to mispredict
+    this via dict-truthiness staging tracking."""
+    root = str(tmp_path_factory.mktemp("snap_empty_stage"))
+    cat = SnapshotCatalog(spark, root)
+    cat.stage_parts(
+        spark.createDataFrame([(0, 0)], "val long, _part int"), "t", 4, [0]
+    )
+    cat.commit(cat.committed_epoch() + 1)
+    empty = spark.createDataFrame([], "val long, _part int")
+    cat.stage_parts(empty, "t", 4, [0])
+    cat.commit(cat.committed_epoch() + 1)
+    df = cat.read("t")
+    got = [] if df is None else df.collect()
+    assert got == []
+    assert cat.fsck() == []
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(_ops())
 def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
     """Model check: an arbitrary interleaving of partial stage_parts,
@@ -233,6 +254,11 @@ def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
     cat = SnapshotCatalog(spark, root)
     model: dict[int, list[int]] = {}     # committed
     pending: dict[int, list[int]] = {}   # staged-on-top view
+    # Explicit staged flag, NOT dict truthiness: a stage sequence that
+    # legitimately empties the staged view (stage rows, commit, stage the
+    # partition empty) must still commit as "staged" — the empty dict IS
+    # the prediction (VERDICT r05 "What's wrong" #1).
+    staged = False
 
     def make_df(rows_by_part):
         data = [
@@ -246,8 +272,9 @@ def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
         if step[0] == "stage":
             _, dirty, rows = step
             cat.stage_parts(make_df(rows), "t", 4, dirty)
-            if not pending:
+            if not staged:
                 pending = dict(model)
+                staged = True
             for k in dirty:
                 vals = [v * 7 + k for v in rows.get(k, [])]
                 if vals:
@@ -256,12 +283,14 @@ def test_ptable_state_machine_matches_dict_model(spark, tmp_path_factory, ops):
                     pending.pop(k, None)
         elif step[0] == "commit":
             cat.commit(cat.committed_epoch() + 1)
-            if pending:
+            if staged:
                 model = pending
             pending = {}
+            staged = False
         elif step[0] == "reopen":
             cat = SnapshotCatalog(spark, root)
             pending = {}
+            staged = False
         elif step[0] == "expire":
             if not (cat._pending or cat._pending_appends or cat._pending_parts):
                 cat.expire_versions(keep_last=2)
