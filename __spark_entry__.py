@@ -994,6 +994,14 @@ def q_corpus_pipeline(spark, sf):
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang"),
     ).filter((F.col("quality") >= 1.0) & (F.col("lang") == "en"))
+    # The gated corpus feeds four lineages (dedup signatures, the exact
+    # verify's doc re-read, the keep-canonical join, decontamination, and
+    # the final projection): persist materializes the gate ONCE instead
+    # of re-running tokenize-heavy quality/lang per consumer (guide §5 —
+    # reuse × recompute-cost justifies the cache; MEMORY_AND_DISK spills
+    # gracefully, and at warehouse scale materializing the filtered
+    # corpus once is the standard move anyway).
+    gated = gated.persist()
     dd = gated.select("doc_id", "text")
     cand = minhash_lsh_pairs(dd, threshold=0.5, max_bucket=1 << 20).select(
         "id_a", "id_b"

@@ -834,55 +834,69 @@ def pmi_collocations(
         .limit(int(max_vocab))
     )
     # The vocab is max_vocab-bounded, so collecting it to the driver is a
-    # k-bounded collect (like the shard-id lists); an isin() literal set
-    # compiles to an O(1)-lookup InSet, where array_contains over a
-    # collect_set column is a linear scan per TOKEN (tokens × |vocab|
-    # compares per doc — measured 11.4s → the InSet form at sf1.0). The
-    # collected rows also rebuild the n_a/n_b join sides, so the df agg
-    # runs exactly once.
+    # k-bounded collect (like the shard-id lists) and the df agg runs
+    # exactly once. Terms are mapped to small vocab-rank INTS for the
+    # pair stage (r06): the per-doc pair fan-out is C(|vocab ∩ doc|, 2),
+    # and on a dense corpus that is thousands of pairs per doc — packing
+    # each pair into ONE long key (vid_a·V + vid_b) turns the explode +
+    # hash-agg from string-struct rows into longs (measured 8.4s → ~3s
+    # at sf1.0). Strings re-attach after the agg via the tiny vocab map;
+    # pair identity is preserved (vid ↔ term is a bijection), and the
+    # output keys re-normalize to term_a < term_b string order.
     vrows = vocab.collect()
-    vterms = [r["term"] for r in vrows]
-    in_vocab = (
-        (lambda t: t.isin(*vterms)) if vterms else (lambda t: F.lit(False))
-    )
     spark = docs.sparkSession
-    vocab = spark.createDataFrame(
-        [(r["term"], r["df"]) for r in vrows], "term string, df long"
+    vmax = int(max_vocab)
+    vmap = spark.createDataFrame(
+        [(r["term"], i, r["df"]) for i, r in enumerate(vrows)],
+        "term string, vid int, df long",
     )
-    kept = per_doc.select(
-        id_col,
-        F.array_sort(F.filter("ts", in_vocab)).alias("kt"),
+    exk = per_doc.select(
+        F.col(id_col), F.explode("ts").alias("term")
+    ).join(F.broadcast(vmap.select("term", "vid")), "term")
+    kti = exk.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("vid")).alias("kt")
     )
-    pairs = kept.filter(F.size("kt") >= 2).select(
+    pairs = kti.filter(F.size("kt") >= 2).select(
         F.explode(
             F.flatten(
                 F.transform(
                     F.sequence(F.lit(1), F.size("kt") - 1),
                     lambda i: F.transform(
                         F.sequence(i + 1, F.size("kt")),
-                        lambda j: F.struct(
-                            F.element_at("kt", i).alias("a"),
-                            F.element_at("kt", j).alias("b"),
-                        ),
+                        lambda j: F.element_at("kt", i).cast("long")
+                        * F.lit(vmax)
+                        + F.element_at("kt", j),
                     ),
                 )
             )
-        ).alias("p")
-    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
-    pc = pairs.groupBy("term_a", "term_b").agg(
+        ).alias("pk")
+    )
+    pc = pairs.groupBy("pk").agg(
         F.count("*").cast("long").alias("n_ab")
-    ).filter(F.col("n_ab") >= int(min_pair))
-    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("n_a"))
-    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    ).filter(F.col("n_ab") >= int(min_pair)).select(
+        (F.col("pk") / vmax).cast("int").alias("vid_a"),
+        F.pmod(F.col("pk"), F.lit(vmax)).cast("int").alias("vid_b"),
+        "n_ab",
+    )
+    va = vmap.select(
+        F.col("vid").alias("vid_a"), F.col("term").alias("ta"), F.col("df").alias("na")
+    )
+    vb = vmap.select(
+        F.col("vid").alias("vid_b"), F.col("term").alias("tb"), F.col("df").alias("nb")
+    )
     return (
-        pc.join(F.broadcast(va), "term_a")
-        .join(F.broadcast(vb), "term_b")
+        pc.join(F.broadcast(va), "vid_a")
+        .join(F.broadcast(vb), "vid_b")
         .select(
-            "term_a",
-            "term_b",
+            F.least("ta", "tb").alias("term_a"),
+            F.greatest("ta", "tb").alias("term_b"),
             "n_ab",
-            "n_a",
-            "n_b",
+            F.when(F.col("ta") <= F.col("tb"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .alias("n_a"),
+            F.when(F.col("ta") <= F.col("tb"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .alias("n_b"),
             F.round(
                 (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double"),

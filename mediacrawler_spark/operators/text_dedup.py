@@ -71,7 +71,14 @@ def minhash_signatures(
     that shape re-runs the regexp tokenizer per hash per element (measured
     ~60× slower). Explode evaluates shingling once per doc; the n mins are
     map-side partial aggregates — the same pattern scales to 100 TB because
-    the shuffle carries only (id, n×8 bytes) partials."""
+    the shuffle carries only (id, n×8 bytes) partials.
+
+    Per-slot hashes are derived from ONE string hash per shingle
+    (``xxhash64(xxhash64(s), i)`` — re-hashing the 8-byte value per
+    slot) rather than hashing the shingle string n times: the string
+    traversal dominated the aggregate (guide §2.3 — do the expensive
+    work once, derive the rest from fixed-size state). Standard MinHash
+    practice; the family is still fully avalanched per slot."""
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     sh = toks.select(
         "id",
@@ -86,8 +93,8 @@ def minhash_signatures(
                 ),
             ).otherwise(F.array(F.concat_ws(" ", "toks")))
         ).alias("s"),
-    )
-    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
+    ).select(F.col("id"), F.xxhash64("s").alias("h"))
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
     return (
         sh.groupBy("id")
         .agg(*aggs)
@@ -193,7 +200,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
-    Shingles are computed only for docs that appear in a candidate pair."""
+    Shingles are computed only for docs that appear in a candidate pair.
+
+    ``candidates`` is persisted here: it feeds two lineages (the doc-id
+    semi-join and the pair join), and callers pass the whole LSH band
+    pipeline as the candidate frame — without the pin that pipeline
+    (band self-join + pair dedup) re-executes per consumer (measured
+    ~2.5s × 2 extra passes per composition query at sf1.0)."""
+    candidates = candidates.persist()
     ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
