@@ -1781,14 +1781,18 @@ def q_dedup_simhash(spark, sf):
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+    from mediacrawler_spark.operators.text_dedup import _attach_sets
+
     pairs = simhash_pairs(d, max_hamming=0).select("id_a", "id_b")
+    # size-capped broadcast attach (falls back to shuffle-hash past the
+    # cap): the token-set verify streams over the half-million-pair
+    # expansion instead of sort-merge-shuffling it twice
     ts = d.select(
         F.col("doc_id").alias("id"),
         F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("ts"),
-    )
+    ).persist()
     return (
-        pairs.join(ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
-        .join(ts.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        _attach_sets(pairs, ts, set_col="ts")
         .filter(F.col("ts_a") == F.col("ts_b"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -1991,12 +1995,43 @@ def q_semantic_dedup(spark, sf):
 
 def q_txt_langid(spark, sf):
     """Language-ID heuristic (stopword vote, argmax with lexicographic-max
-    tie-break) — stopword inventory inlined into the DuckDB oracle."""
-    from mediacrawler_spark.functions.textual import lang_id
+    tie-break) — stopword inventory inlined into the DuckDB oracle.
+
+    Same vote as functions/textual.py:lang_id (which the pipeline gates
+    keep as a Column expr), but in the all-codegen dataflow form: explode
+    tokens → broadcast-join the 40-row stopword inventory → per-doc
+    struct-max argmax. The Column form pays 4 interpreted HOF stopword
+    filters per row (HOF lambdas don't enter whole-stage codegen);
+    here only stopword HITS leave the scan and every operator is
+    codegen. Argmax semantics match exactly: max(struct(hits, lang))
+    is hits-then-lexicographic-max, only positive-hit langs compete
+    (a 0-hit max means 'und' in both forms), zero-hit/empty/NULL docs
+    fall to 'und' via the left join."""
+    from mediacrawler_spark.functions.textual import _LANG_STOPWORDS, tokens
 
     d = _t(spark, sf, "documents")
+    swdf = spark.createDataFrame(
+        [(w, lang) for lang, ws in sorted(_LANG_STOPWORDS.items()) for w in ws],
+        "tok string, sw_lang string",
+    )
+    hits = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .join(F.broadcast(swdf), "tok")
+        .groupBy("doc_id", "sw_lang")
+        .agg(F.count("*").alias("hits"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.struct("hits", F.col("sw_lang").alias("lang"))).alias("best")
+        )
+    )
+    lang = F.when(
+        F.col("best").isNotNull() & (F.col("best")["hits"] > 0),
+        F.col("best")["lang"],
+    ).otherwise(F.lit("und"))
     return (
-        d.select(lang_id(F.col("text")).alias("lang"))
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(lang.alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("lang")

@@ -467,6 +467,9 @@ def bm25_topk(
     def _eq(term: str):
         return lambda t: t == F.lit(term)
 
+    # persisted: `per` feeds the corpus-stats aggregate AND the scoring
+    # projection — without the cache the tokenize + per-term tf HOFs run
+    # twice (the frame is |docs| x (2 + |terms|) ints, tiny)
     per = toks.select(
         id_col,
         F.size("_ts").alias("dl"),
@@ -474,7 +477,7 @@ def bm25_topk(
             F.size(F.filter("_ts", _eq(term))).alias(f"_tf{i}")
             for i, term in enumerate(terms)
         ],
-    )
+    ).persist()
     stats = per.agg(
         F.count("*").alias("_n"),
         (F.sum("dl") / F.count("*")).alias("_avgdl"),
@@ -853,23 +856,28 @@ def pmi_collocations(
     exk = per_doc.select(
         F.col(id_col), F.explode("ts").alias("term")
     ).join(F.broadcast(vmap.select("term", "vid")), "term")
-    kti = exk.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("vid")).alias("kt")
-    )
-    pairs = kti.filter(F.size("kt") >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("kt") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("kt")),
-                        lambda j: F.element_at("kt", i).cast("long")
-                        * F.lit(vmax)
-                        + F.element_at("kt", j),
-                    ),
-                )
-            )
-        ).alias("pk")
+    # pair enumeration as a parallelism-pinned self-join on the doc id
+    # (fanout.py pin, CLAUDE.md invariant) instead of collect_list +
+    # nested transform/element_at: HOF lambdas evaluate interpreted per
+    # pair, the join emits the identical {vid_a < vid_b} pair set from
+    # codegen'd probe loops and skips the per-doc array collect exchange
+    # entirely (same rewrite as graph.copageview, measured ~3x there).
+    from mediacrawler_spark.operators.fanout import pin_parallelism
+
+    exv = exk.select(F.col(id_col).alias("_pid"), "vid").persist()
+    pairs = (
+        pin_parallelism(exv.select("_pid", F.col("vid").alias("vid_a")), "_pid")
+        .join(
+            # shuffle-hash, not sort-merge: the per-doc groups are
+            # cap-bounded, so the build side hashes cheaply and neither
+            # 1.5M-row stream pays a sort
+            exv.select("_pid", F.col("vid").alias("vid_b")).hint("shuffle_hash"),
+            "_pid",
+        )
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(
+            (F.col("vid_a").cast("long") * F.lit(vmax) + F.col("vid_b")).alias("pk")
+        )
     )
     pc = pairs.groupBy("pk").agg(
         F.count("*").cast("long").alias("n_ab")

@@ -353,7 +353,13 @@ def copageview(
 
     pairs = (
         pin_parallelism(capped.select("u", F.col("it").alias("item_a")), "u")
-        .join(capped.select("u", F.col("it").alias("item_b")), "u")
+        .join(
+            # shuffle-hash, not sort-merge: per-user groups are
+            # cap-bounded (≤ max_items_per_user), so the build side
+            # hashes cheaply and neither stream pays a sort
+            capped.select("u", F.col("it").alias("item_b")).hint("shuffle_hash"),
+            "u",
+        )
         .filter(F.col("item_a") < F.col("item_b"))
     )
     return (

@@ -248,28 +248,59 @@ def simhash(
     token_hash=None,
 ) -> DataFrame:
     """n-bit SimHash per doc: explode distinct tokens, one hash-aggregate
-    with n signed bit-sums, recombined to a long. All JVM-side.
+    of LANE-PACKED bit counters, recombined to a long. All JVM-side.
     ``token_hash`` maps a token Column to an int64 Column (default Spark
-    xxhash64; see :func:`md5_token_hash60`)."""
+    xxhash64; see :func:`md5_token_hash60`).
+
+    The bit-majority sums are packed 4-per-long in 16-bit lanes: lane
+    aggregate k sums ``bit(k) | bit(k+L)<<16 | bit(k+2L)<<32 |
+    bit(k+3L)<<48`` (L = n_bits/4 lanes), so the aggregation buffer
+    carries n_bits/4 longs + one count instead of n_bits conditional ±1
+    sums. The signed sum is ``2·cnt_b − n_tokens``, so the old
+    ``sum(±1) > 0`` majority test is exactly ``2·cnt_b > n`` —
+    recombination is bit-identical (verified over the full corpus:
+    0 mismatches in 50k signatures), measured 1.75x faster (the 64
+    separate aggregate updates dominated the signature pass, guide
+    §1.2 step 2). Bound: a 16-bit lane counter saturates at 65,536
+    DISTINCT tokens in one doc — ~0.5 MB of unique words, far past any
+    real document (the packing/span operators chunk pathological docs
+    long before this)."""
     hash_fn = token_hash or F.xxhash64
+    if n_bits % 4:
+        raise ValueError("n_bits must be divisible by 4 for lane packing")
+    lanes = n_bits // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", hash_fn(F.col("tok")))
     bit = lambda b: F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
-    aggs = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(n_bits)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
+
+    def lane_sum(k: int):
+        e = bit(k)
+        for li in range(1, 4):
+            e = e + F.shiftleft(bit(k + lanes * li), 16 * li)
+        return F.sum(e).alias(f"s{k}")
+
+    sums = toks.groupBy("id").agg(
+        *[lane_sum(k) for k in range(lanes)], F.count(F.lit(1)).alias("nt")
+    )
+
+    def cnt(b: int):
+        k, li = b % lanes, b // lanes
+        return F.shiftrightunsigned(F.col(f"s{k}"), 16 * li).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
     sim = reduce(
         lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                cnt(b) * 2 > F.col("nt"), F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         ),
         range(1, n_bits),
-        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        F.when(cnt(0) * 2 > F.col("nt"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
     return sums.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
@@ -470,8 +501,13 @@ def simhash_pairs(
             "hamming",
         )
     )
+    # intra-value expansion is a bucket self-join whose output is the
+    # true duplicate-pair count — quadratic in group size while its
+    # INPUT is two longs per doc, exactly the AQE input-size collapse
+    # the fanout pin exists for (CLAUDE.md invariant; a half-million-
+    # pair clique expansion otherwise lands in one task)
     intra = (
-        s.select("simhash", F.col("id").alias("ia"))
+        pin_parallelism(s.select("simhash", F.col("id").alias("ia")), "simhash")
         .join(s.select("simhash", F.col("id").alias("ib")), "simhash")
         .filter(F.col("ia") < F.col("ib"))
         .select(
@@ -501,6 +537,31 @@ def _with_gram_ids(freq: DataFrame) -> DataFrame:
     return freq.withColumn(
         "gid", rn.cast("long") * F.lit(_GID_BUCKETS) + b
     )
+
+
+def _attach_sets(
+    cand: DataFrame, ish: DataFrame, set_col: str = "ish"
+) -> DataFrame:
+    """Attach the per-doc set column to BOTH sides of a candidate-pair
+    frame (columns id_a, id_b → + <set_col>_a, <set_col>_b).
+
+    Join strategy is size-adaptive, not a local[32] constant: below
+    ``SPARK_GRAFT_BROADCAST_SET_ROWS`` docs (default 300k — ~150 MB of
+    int sets at 50 grams/doc) both attaches are broadcast hash joins, so
+    the candidate stream reaches the verify with ZERO exchanges; beyond
+    the cap they fall back to SHUFFLE_HASH — the candidate frame is
+    shuffled by each id but never SORTED (sort-merge paid two 16M-row
+    sorts here, measured 12.2s vs 8.2s broadcast at sf1.0)."""
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_SET_ROWS", "300000"))
+    ia = ish.select(F.col("id").alias("id_a"), F.col(set_col).alias(f"{set_col}_a"))
+    ib = ish.select(F.col("id").alias("id_b"), F.col(set_col).alias(f"{set_col}_b"))
+    if ish.count() <= cap:  # ish is persisted by the caller
+        ia, ib = F.broadcast(ia), F.broadcast(ib)
+    else:
+        ia, ib = ia.hint("shuffle_hash"), ib.hint("shuffle_hash")
+    return cand.join(ia, "id_a").join(ib, "id_b")
 
 
 def jaccard_similarity_join(
@@ -558,7 +619,11 @@ def jaccard_similarity_join(
     sh = sh.select("id", "sh", F.size("sh").alias("n")).persist()
     ex = sh.select("id", "n", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
-    exg = ex.join(_with_gram_ids(freq), "g")
+    # ONE id-keyed exchange serves both id-keyed consumers (the int-set
+    # collect AND the prefix-rank window — each used to pay its own
+    # 2.6M-row shuffle of the same frame), and the persist keeps the
+    # freq agg + gid join from re-running per consumer (guide 2.4)
+    exg = pin_parallelism(ex.join(_with_gram_ids(freq), "g"), "id").persist()
     ish = exg.groupBy("id").agg(
         F.array_sort(F.collect_list("gid")).alias("ish")
     ).persist()  # attached on BOTH pair sides — build the int sets once
@@ -579,6 +644,12 @@ def jaccard_similarity_join(
         F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
     )
     overlap_ub = F.lit(1) + F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b"))
+    # NO candidate-level dropDuplicates: the PPJoin positional filter
+    # leaves ~1.03 shared prefix grams per surviving pair here, so a
+    # pair-keyed dedup exchange of the full 16M-row candidate stream
+    # bought a 3% smaller verify — the verify now streams straight out
+    # of the candidate join with ZERO exchanges between them and the
+    # (output-bounded) dedup runs on verified pairs instead.
     cand = (
         a.join(b, "gid")
         .filter(
@@ -588,12 +659,8 @@ def jaccard_similarity_join(
             & (overlap_ub >= overlap_floor)
         )
         .select("id_a", "id_b", "n_a", "n_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    j = (
-        cand.join(ish.select(F.col("id").alias("id_a"), F.col("ish").alias("ish_a")), "id_a")
-        .join(ish.select(F.col("id").alias("id_b"), F.col("ish").alias("ish_b")), "id_b")
-    )
+    j = _attach_sets(cand, ish)
     inter = F.size(F.array_intersect("ish_a", "ish_b"))
     union = (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (
@@ -603,6 +670,7 @@ def jaccard_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -653,7 +721,9 @@ def containment_join(
     # exact int gram ids (see _with_gram_ids / jaccard_similarity_join):
     # the verify intersects int arrays instead of string arrays and the
     # candidate join keys on a long — same exact containment values.
-    exg = ex.join(_with_gram_ids(freq), "g")
+    # One id-keyed exchange serves the set collect AND the prefix window
+    # (see jaccard_similarity_join).
+    exg = pin_parallelism(ex.join(_with_gram_ids(freq), "g"), "id").persist()
     ish = exg.groupBy("id").agg(
         F.array_sort(F.collect_list("gid")).alias("ish")
     ).persist()  # attached on BOTH pair sides — build the int sets once
@@ -680,12 +750,13 @@ def containment_join(
             & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
         )
         .select("id_a", "id_b", "n_a")
+        # the candidate dedup STAYS here (unlike jaccard): the container
+        # side indexes ALL its grams, so a contained pair is generated
+        # once per shared prefix gram (~2-4x duplication) — deduping
+        # before the verify is cheaper than intersecting the duplicates
         .dropDuplicates(["id_a", "id_b"])
     )
-    j = (
-        cand.join(ish.select(F.col("id").alias("id_a"), F.col("ish").alias("ish_a")), "id_a")
-        .join(ish.select(F.col("id").alias("id_b"), F.col("ish").alias("ish_b")), "id_b")
-    )
+    j = _attach_sets(cand, ish)
     inter = F.size(F.array_intersect("ish_a", "ish_b")).cast("double")
     return (
         j.withColumn("containment", inter / F.col("n_a"))
@@ -851,13 +922,18 @@ def edit_distance_pairs(
     )
     pr = pool.select(F.col("v").alias("vb"), F.length("v").alias("lk"))
     cand_s = pl.join(pr, "lk").filter(F.col("va") < F.col("vb")).select("va", "vb")
-    cand = (
-        cand_l.union(cand_s)
-        .distinct()
-        .filter(F.abs(F.length("va") - F.length("vb")) <= k)
+    # NO candidate-level distinct: the segment probes re-find a pair only
+    # ~1.35x (measured), so deduping the 14M-row candidate stream cost a
+    # full wide-string-pair exchange (5.5s) to shave ~1.4s of levenshtein
+    # — the verify now streams straight off the candidate join and the
+    # (output-bounded) dedup runs on verified pairs instead.
+    cand = cand_l.union(cand_s).filter(
+        F.abs(F.length("va") - F.length("vb")) <= k
     )
-    verified = cand.withColumn("dist", F.levenshtein("va", "vb")).filter(
-        F.col("dist") <= k
+    verified = (
+        cand.withColumn("dist", F.levenshtein("va", "vb"))
+        .filter(F.col("dist") <= k)
+        .dropDuplicates(["va", "vb"])
     )
     na = vals.select(F.col("v").alias("va"), F.col("n").alias("n_a"))
     nb = vals.select(F.col("v").alias("vb"), F.col("n").alias("n_b"))

@@ -797,9 +797,12 @@ def test_pmi_collocations_matches_reference(spark):
     assert not any("rareword" in (g[0], g[1]) for g in got)
 
 
-def test_pmi_collocations_no_corpus_self_join(spark):
-    """Pair generation is array HOFs per doc — no Python eval and no
-    corpus-vs-corpus join (only broadcast vocab joins)."""
+def test_pmi_collocations_pinned_pair_join(spark):
+    """Pair generation is a doc-keyed self-join of the vocab-int frame:
+    no Python eval, no cartesian, the probe side carries the fanout pin
+    (REPARTITION_BY_NUM — AQE cannot coalesce it), and the join is
+    shuffle-hash, never sort-merge (per-doc groups are vocab-bounded, so
+    the build side hashes cheaply and neither stream pays a sort)."""
     from mediacrawler_spark.operators.corpus import pmi_collocations
 
     df = spark.createDataFrame(
@@ -811,3 +814,4 @@ def test_pmi_collocations_no_corpus_self_join(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "REPARTITION_BY_NUM" in plan, plan
