@@ -210,10 +210,15 @@ def tfidf_top_terms(
     from mediacrawler_spark.functions.textual import tokens
 
     n_docs = df.select(id_col).distinct().count()
+    # persisted: tf is both the join's probe side AND the lineage dfreq
+    # aggregates over — without the cache the tokenize-explode-agg chain
+    # executes twice (measured 5.2s -> 2.0s at 10x; the frame is one row
+    # per distinct (doc, term), far smaller than the token stream)
     tf = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy(
@@ -666,10 +671,13 @@ def term_drift(
     ex = df.select(
         F.col(slice_col).alias("s"), F.explode(tokens(F.col(text_col))).alias("term")
     )
+    # persisted: per_term feeds the totals row, the tv-distance agg, and
+    # the top-k — uncached, the corpus tokenize-explode-agg runs 3x
+    # (the frame is vocabulary-bounded)
     per_term = ex.groupBy("term").agg(
         F.sum(F.when(F.col("s") == "a", 1).otherwise(0)).cast("bigint").alias("k_a"),
         F.sum(F.when(F.col("s") == "b", 1).otherwise(0)).cast("bigint").alias("k_b"),
-    )
+    ).persist()
     totals = per_term.agg(
         F.sum("k_a").cast("bigint").alias("n_a"), F.sum("k_b").cast("bigint").alias("n_b")
     )

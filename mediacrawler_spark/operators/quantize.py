@@ -180,7 +180,10 @@ def quantized_outliers(
     broadcast back (bounded like the IVF centroid sample), one codegen
     pass for scores, TakeOrderedAndProject. No self-join, no UDF.
     """
-    q = quantize_int8(df, id_col, vec_col).select("id", "q")
+    # persisted: q feeds THREE lineages (the per-dim sums, the row count,
+    # and the scoring pass) — uncached, the int8 quantization of every
+    # vector re-runs per consumer
+    q = quantize_int8(df, id_col, vec_col).select("id", "q").persist()
     ex = q.select(F.posexplode("q").alias("i", "v"))
     sums = ex.groupBy("i").agg(F.sum(F.col("v").cast("long")).alias("s"))
     nrow = q.agg(F.count("*").cast("long").alias("n"))

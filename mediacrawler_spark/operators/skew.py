@@ -45,9 +45,11 @@ def key_skew_report(df: DataFrame, key_col: str = "host", top_k: int = 20) -> Da
     (Σk² < 2^63 holds to ~3×10^9 rows on one key; past that pre-scale
     counts by a common power of two — ranking and 6-dp scalars hold.)
     """
+    # persisted: per feeds the single-row stats agg AND the top-k —
+    # uncached, the full key-count scan runs twice (frame is key-bounded)
     per = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").cast("bigint").alias("cnt")
-    )
+    ).persist()
     tot = per.agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_keys"),
